@@ -1,0 +1,27 @@
+"""Test environment: force CPU backend with 8 virtual devices so multi-chip
+sharding tests run without TPU hardware (set before jax import)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# x64 available for float64 oracle comparisons; solvers pass explicit f32
+# dtypes so this does not change their precision. (The env-var route is not
+# honored by this JAX build, so use config.update.)
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: eager scalar ops in the unit tests each trigger a
+# small XLA compile; caching them across runs keeps the suite fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
