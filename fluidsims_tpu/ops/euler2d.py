@@ -132,7 +132,9 @@ def wall_ghost(inside: Prim) -> Prim:
 
 def inflow_prim(gamma: float, mach: float, dtype=jnp.float32) -> Prim:
     """Nondimensional supersonic inflow: rho=1, p=1, u=M*a, v=0."""
-    a = float(jnp.sqrt(jnp.asarray(gamma, jnp.float64)))
+    import math
+
+    a = math.sqrt(gamma)
     return Prim(
         rho=jnp.asarray(1.0, dtype),
         u=jnp.asarray(mach * a, dtype),

@@ -23,6 +23,7 @@ def shift_axis_clamped(a: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
     """
     if d == 0:
         return a
+    axis = axis % a.ndim
     n = a.shape[axis]
     if abs(d) >= n:
         raise ValueError(f"shift {d} exceeds axis size {n}")

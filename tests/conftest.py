@@ -4,6 +4,8 @@ sharding tests run without TPU hardware (set before jax import)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# This JAX build ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # honored by this JAX build, so use config.update.)
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compile cache: eager scalar ops in the unit tests each trigger a
