@@ -37,16 +37,25 @@ def main():
     cfg = h2.default_config(nx=nx, ny=ny)
     state = h2.init(cfg)
 
-    run = jax.jit(lambda s, n: h2.run(cfg, s, n), static_argnums=1)
+    chunk = min(steps, 25)
+    reps = max(1, steps // chunk)
+    run = jax.jit(lambda s: h2.run(cfg, s, chunk), donate_argnums=0)
 
-    # Warmup / compile.
-    warm = run(state, 3)
+    # Warmup / compile with the same trace that will be timed.
+    warm = run(state)
     jax.block_until_ready(warm)
+    import numpy as np
 
+    _ = np.asarray(warm.t)  # hard sync through the device tunnel
+
+    state = h2.init(cfg)
     t0 = time.perf_counter()
-    out = run(state, steps)
-    jax.block_until_ready(out)
+    out = state
+    for _ in range(reps):
+        out = run(out)
+    _ = np.asarray(out.t)
     wall = time.perf_counter() - t0
+    steps = chunk * reps
 
     steps_per_sec = steps / wall
     value = steps_per_sec
