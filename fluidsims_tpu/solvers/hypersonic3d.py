@@ -1,0 +1,756 @@
+"""3-D hypersonic flow past a sphere with two-temperature vibrational
+nonequilibrium, WENO5 + HLLC, log-space state, τ-clock with feedback dτ.
+
+Behavioral spec: tau_hypersonic_3d_cuda.cu —
+  * log-space state ξ=ln ρ, φ=asinh(u/u_ref), λ=ln p, ζ=ln e_vib
+    (:109-171, encode/decode :213-232, store :1353-1358)
+  * two-temperature EOS: Et carries kinetic + thermal + vibrational energy;
+    T_v recovered from e_vib by a 3-iteration Newton solve (:191-211, 234-262)
+  * WENO5 faces (:534-598) + HLLC with entropy-fixed wavespeeds (:366-374)
+    and shock-sensor HLL blending scaled by flow alignment (:376-381, 383-460)
+  * solid-aware stencil degradation: wall-mirrored Riemann problem at faces
+    touching the sphere, minmod... actually first-order (L,R)=(q_{i-1},q_i)
+    pair when any solid sits in the WENO stencil line (:1095-1163)
+  * isothermal wall ghost state (apply_wall :511-521); inflow at x<0,
+    transmissive outflow with subsonic pressure relaxation at x>=nx
+    (:691-722); y, z periodic (:729-730)
+  * Landau–Teller vibrational relaxation toward e_v^eq(T) (:1290-1293)
+  * inflow/outflow sponge layers with quadratic ramps (:1295-1344), inflow
+    ramped by gain=clamp(t/0.02,0,1) (:1682-1683)
+  * non-finite/negative cell repair by reset-to-inflow (:1284-1289)
+  * τ clock: t*=e^dτ, dt=t·dτ, then dτ feedback 0.8x/1.1x against dt_CFL,
+    clamped to [1e-7, 5e-2] (:1680-1704)
+
+TPU design notes:
+  * The CUDA kernel computes BOTH faces of every cell, so each interior face
+    flux is evaluated twice (identical values except at solid-degraded
+    faces).  Here interior face fluxes are computed ONCE on (…, n+1) face
+    arrays; only the wall-mirror case (which genuinely differs per side) is
+    applied as a per-cell override — same results, half the WENO/HLLC work.
+  * The reference's single-pass atomicMax wavespeed (:523-532, 1345-1351)
+    becomes a masked jnp.max fused into the same step.
+  * Everything (step + τ feedback) is one jit region scanning on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import BaseConfig
+from ..ops.limiters import minmod
+from ..ops.weno import weno5_left, weno5_right
+
+__all__ = [
+    "Hypersonic3DConfig",
+    "Hypersonic3DState",
+    "PrimT",
+    "init",
+    "step",
+    "run",
+    "vis_field",
+    "VIS_MODES",
+]
+
+RHO_P_FLOOR = 1e-30
+THERMAL_ENERGY_FLOOR = 1e-12
+DENOM_EPS = 1e-12
+NEWTON_TEMP_FLOOR = 1e-6
+TAU_VIB_MIN = 1e-9
+HALO = 3  # WENO5 stencil reach
+
+
+@dataclass(frozen=True)
+class Hypersonic3DConfig(BaseConfig):
+    nx: int = 64
+    ny: int = 64
+    nz: int = 64
+    dx: float = 1.0 / 64
+    dy: float = 1.0 / 64
+    dz: float = 1.0 / 64
+    cfl: float = 0.3333
+    u_ref: float = 10.0
+    R: float = 10.0
+    gamma_floor: float = 1.1
+    Twall: float = 0.02
+    tau_vib: float = 2e-4
+    theta_v: float = 0.2
+    sdf_cx: float = 0.5
+    sdf_cy: float = 0.5
+    sdf_cz: float = 0.5
+    sdf_r: float = 0.25
+    inflow_r: float = 0.02
+    inflow_p: float = 0.02
+    inflow_u: float = 100.0
+    inflow_v: float = 0.0
+    inflow_w: float = 0.0
+    sponge_n: int = 24
+    sponge_strength: float = 0.05
+    sponge_out_n: int = 24
+    sponge_out_strength: float = 0.05
+    t0: float = 1e-5
+    dtau0: float = 1e-3
+    dtype: str = "float32"
+
+    def validate(self):
+        self._require(self.nx > 0 and self.ny > 0 and self.nz > 0,
+                      "grid dims must be positive")
+        self._require(self.gamma_floor > 1.0, "gamma must be > 1")
+        self._require(self.cfl > 0.0, "cfl must be > 0")
+        self._require(self.u_ref > 0.0, "u_ref must be > 0")
+        self._require(self.R > 0.0, "R must be > 0")
+        self._require(self.sdf_r > 0.0, "sdf_r must be > 0")
+
+
+def default_config(n: int = 64, **kw) -> Hypersonic3DConfig:
+    base = dict(nx=n, ny=n, nz=n, dx=1.0 / n, dy=1.0 / n, dz=1.0 / n)
+    base.update(kw)
+    return Hypersonic3DConfig(**base)
+
+
+class PrimT(NamedTuple):
+    """Primitive fields (density, velocities, pressure, vibrational energy).
+    T and T_v are derived on demand."""
+
+    r: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    w: jnp.ndarray
+    p: jnp.ndarray
+    ev: jnp.ndarray
+
+
+class ConsT(NamedTuple):
+    r: jnp.ndarray
+    mx: jnp.ndarray
+    my: jnp.ndarray
+    mz: jnp.ndarray
+    Et: jnp.ndarray
+    Ev: jnp.ndarray
+
+
+class Hypersonic3DState(NamedTuple):
+    xi: jnp.ndarray    # ln rho, (nz, ny, nx)
+    phix: jnp.ndarray  # asinh(u/u_ref)
+    phiy: jnp.ndarray
+    phiz: jnp.ndarray
+    lam: jnp.ndarray   # ln p
+    zet: jnp.ndarray   # ln e_vib
+    solid: jnp.ndarray  # bool
+    t: jnp.ndarray
+    dtau: jnp.ndarray
+
+
+# ------------------------- EOS / thermodynamics ----------------------------
+
+
+def _tv_newton(cfg, evib, Tseed):
+    """3-iteration Newton solve for T_v from e_vib
+    (Tv_from_evib_seed, :191-204)."""
+    Tv = jnp.maximum(cfg.Twall, jnp.maximum(Tseed, NEWTON_TEMP_FLOOR))
+    for _ in range(3):
+        a = cfg.theta_v / jnp.maximum(Tv, NEWTON_TEMP_FLOOR)
+        ea = jnp.exp(a)
+        denom = jnp.maximum(ea - 1.0, NEWTON_TEMP_FLOOR)
+        f = (cfg.R * cfg.theta_v) / denom - evib
+        df = (cfg.R * cfg.theta_v) * (ea * (cfg.theta_v / (Tv * Tv))) / (
+            denom * denom
+        )
+        Tv = jnp.maximum(NEWTON_TEMP_FLOOR, Tv - f / jnp.maximum(df, DENOM_EPS))
+    return Tv
+
+
+def evib_eq(cfg, T):
+    """Equilibrium vibrational energy at temperature T (:206-211)."""
+    a = cfg.theta_v / jnp.maximum(T, NEWTON_TEMP_FLOOR)
+    denom = jnp.maximum(jnp.exp(a) - 1.0, NEWTON_TEMP_FLOOR)
+    return (cfg.R * cfg.theta_v) / denom
+
+
+def tv_from_evib(cfg, evib, T):
+    return _tv_newton(cfg, evib, T)
+
+
+def _temp(cfg, q: PrimT):
+    return q.p / (q.r * cfg.R)
+
+
+def prim_to_cons(cfg, q: PrimT) -> ConsT:
+    ke = 0.5 * (q.u * q.u + q.v * q.v + q.w * q.w)
+    e_th = q.p / jnp.maximum((cfg.gamma_floor - 1.0) * q.r, RHO_P_FLOOR)
+    return ConsT(
+        r=q.r, mx=q.r * q.u, my=q.r * q.v, mz=q.r * q.w,
+        Ev=q.r * q.ev, Et=q.r * (ke + e_th + q.ev),
+    )
+
+
+def cons_to_prim(cfg, U: ConsT) -> PrimT:
+    r = jnp.maximum(U.r, RHO_P_FLOOR)
+    u = U.mx / r
+    v = U.my / r
+    w = U.mz / r
+    ke = 0.5 * (u * u + v * v + w * w)
+    ev = jnp.maximum(U.Ev / r, 0.0)
+    e_th = jnp.maximum(U.Et / r - ke - ev, THERMAL_ENERGY_FLOOR)
+    p = jnp.maximum((cfg.gamma_floor - 1.0) * r * e_th, RHO_P_FLOOR)
+    return PrimT(r=r, u=u, v=v, w=w, p=p, ev=ev)
+
+
+def soundspeed(cfg, q: PrimT):
+    return jnp.sqrt(jnp.maximum(cfg.gamma_floor * q.p / q.r, DENOM_EPS))
+
+
+def axis_flux(cfg, q: PrimT, axis: int) -> ConsT:
+    un = (q.u, q.v, q.w)[axis]
+    H = (q.p / q.r) + (0.5 * (q.u * q.u + q.v * q.v + q.w * q.w) + q.ev) \
+        + q.p / jnp.maximum((cfg.gamma_floor - 1.0) * q.r, RHO_P_FLOOR)
+    mom = [q.r * q.u * un, q.r * q.v * un, q.r * q.w * un]
+    mom[axis] = mom[axis] + q.p
+    return ConsT(r=q.r * un, mx=mom[0], my=mom[1], mz=mom[2],
+                 Et=q.r * H * un, Ev=q.r * q.ev * un)
+
+
+# --------------------------- Riemann solver --------------------------------
+
+
+def _signed_denom(x):
+    return jnp.where(x >= 0.0, jnp.maximum(jnp.abs(x), DENOM_EPS),
+                     -jnp.maximum(jnp.abs(x), DENOM_EPS))
+
+
+def _entropy_fix(s, a_ref):
+    """Harten entropy fix on wave speed estimates (:366-374)."""
+    d = 0.1 * a_ref
+    as_ = jnp.abs(s)
+    sm = 0.5 * (as_ * as_ / jnp.maximum(d, DENOM_EPS) + d)
+    sgn = jnp.where(s >= 0.0, 1.0, -1.0)
+    return jnp.where(as_ >= d, s, sgn * sm)
+
+
+def _shock_sensor(L: PrimT, R: PrimT):
+    dp = jnp.abs(R.p - L.p) / jnp.maximum(R.p + L.p, DENOM_EPS)
+    dr = jnp.abs(R.r - L.r) / jnp.maximum(R.r + L.r, DENOM_EPS)
+    return jnp.clip(5.0 * 0.5 * (dp + dr), 0.0, 1.0)
+
+
+def _crossflow_speed(L: PrimT, R: PrimT, axis: int):
+    comps = [(L.u, R.u), (L.v, R.v), (L.w, R.w)]
+    del comps[axis]
+    total = sum(jnp.abs(a) + jnp.abs(b) for a, b in comps)
+    return total * 0.5
+
+
+def _cmap(f, *cs):
+    return ConsT(*(f(*vals) for vals in zip(*cs)))
+
+
+def hllc_flux(cfg, L: PrimT, R: PrimT, axis: int) -> ConsT:
+    """HLLC with entropy fix and shock-sensor HLL blending (:383-460)."""
+    aL = soundspeed(cfg, L)
+    aR = soundspeed(cfg, R)
+    unL = (L.u, L.v, L.w)[axis]
+    unR = (R.u, R.v, R.w)[axis]
+    sL = jnp.minimum(unL - aL, unR - aR)
+    sR = jnp.maximum(unL + aL, unR + aR)
+    aRef = jnp.maximum(aL, aR)
+    sL = _entropy_fix(sL, aRef)
+    sR = _entropy_fix(sR, aRef)
+
+    UL = prim_to_cons(cfg, L)
+    UR = prim_to_cons(cfg, R)
+    FL = axis_flux(cfg, L, axis)
+    FR = axis_flux(cfg, R, axis)
+
+    denom = _signed_denom(L.r * (sL - unL) - R.r * (sR - unR))
+    sM = (R.p - L.p + L.r * unL * (sL - unL) - R.r * unR * (sR - unR)) / denom
+
+    pStar = 0.5 * (
+        (L.p + L.r * (sL - unL) * (sM - unL))
+        + (R.p + R.r * (sR - unR) * (sM - unR))
+    )
+
+    align = jnp.clip(
+        1.0 - _crossflow_speed(L, R, axis) / jnp.maximum(aRef, DENOM_EPS),
+        0.0, 1.0,
+    )
+    alpha = _shock_sensor(L, R) * align
+
+    invSRL = 1.0 / _signed_denom(sR - sL)
+    FHLL = _cmap(
+        lambda fl, fr, ul, ur: (sR * fl - sL * fr + sL * sR * (ur - ul)) * invSRL,
+        FL, FR, UL, UR,
+    )
+
+    def star_side(qS, US, FS, sS, unS):
+        d = _signed_denom(sS - sM)
+        rStar = qS.r * (sS - unS) / d
+        EStar = ((sS - unS) * US.Et - qS.p * unS + pStar * sM) / d
+        EvStar = US.Ev * (sS - unS) / d
+        mom = [rStar * qS.u, rStar * qS.v, rStar * qS.w]
+        mom[axis] = rStar * sM
+        UStar = ConsT(r=rStar, mx=mom[0], my=mom[1], mz=mom[2],
+                      Et=EStar, Ev=EvStar)
+        return _cmap(lambda f, us, u: f + sS * (us - u), FS, UStar, US)
+
+    F_left = star_side(L, UL, FL, sL, unL)
+    F_right = star_side(R, UR, FR, sR, unR)
+    F_star = _cmap(lambda a, b: jnp.where(sM >= 0.0, a, b), F_left, F_right)
+    blended = _cmap(lambda fs, fh: (1.0 - alpha) * fs + alpha * fh, F_star, FHLL)
+
+    return _cmap(
+        lambda fl, fr, bl: jnp.where(sL >= 0.0, fl, jnp.where(sR <= 0.0, fr, bl)),
+        FL, FR, blended,
+    )
+
+
+# --------------------------- state / geometry ------------------------------
+
+
+def _pwall(cfg, q: PrimT) -> PrimT:
+    """Isothermal no-slip wall ghost (apply_wall, :511-521)."""
+    p_keep = jnp.maximum(q.p, RHO_P_FLOOR)
+    r = jnp.maximum(
+        p_keep / (cfg.R * max(cfg.Twall, NEWTON_TEMP_FLOOR)), RHO_P_FLOOR
+    )
+    z = jnp.zeros_like(q.u)
+    ev = evib_eq(cfg, jnp.full_like(q.p, cfg.Twall))
+    return PrimT(r=r, u=z, v=z, w=z, p=p_keep, ev=ev)
+
+
+def evib_eq_py(cfg, T: float) -> float:
+    """Host-side evib_eq for static config-derived constants."""
+    import math
+
+    a = cfg.theta_v / max(T, NEWTON_TEMP_FLOOR)
+    denom = max(math.exp(a) - 1.0, NEWTON_TEMP_FLOOR)
+    return (cfg.R * cfg.theta_v) / denom
+
+
+def inflow_prim(cfg, dtype=None) -> PrimT:
+    dt = dtype or jnp.dtype(cfg.dtype)
+    r = max(cfg.inflow_r, RHO_P_FLOOR)
+    p = max(cfg.inflow_p, RHO_P_FLOOR)
+    T = p / (r * cfg.R)
+    ev = evib_eq_py(cfg, T)
+    mk = lambda v: jnp.asarray(v, dt)  # noqa: E731
+    return PrimT(r=mk(r), u=mk(cfg.inflow_u), v=mk(cfg.inflow_v),
+                 w=mk(cfg.inflow_w), p=mk(p), ev=mk(ev))
+
+
+def build_solid(cfg, pad: int = 0) -> np.ndarray:
+    """Sphere SDF rasterized at cell centers (k_build_solid_mask :759-770),
+    optionally evaluated on a halo-extended grid (cell_is_solid extends the
+    SDF beyond the domain, :180-189)."""
+    x = (np.arange(-pad, cfg.nx + pad) + 0.5) * cfg.dx
+    y = (np.arange(-pad, cfg.ny + pad) + 0.5) * cfg.dy
+    z = (np.arange(-pad, cfg.nz + pad) + 0.5) * cfg.dz
+    Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+    d = np.sqrt(
+        (X - cfg.sdf_cx) ** 2 + (Y - cfg.sdf_cy) ** 2 + (Z - cfg.sdf_cz) ** 2
+    ) - cfg.sdf_r
+    return d < 0.0
+
+
+def _encode(cfg, q: PrimT):
+    xi = jnp.log(jnp.maximum(q.r, RHO_P_FLOOR))
+    phix = jnp.arcsinh(q.u / cfg.u_ref)
+    phiy = jnp.arcsinh(q.v / cfg.u_ref)
+    phiz = jnp.arcsinh(q.w / cfg.u_ref)
+    lam = jnp.log(jnp.maximum(q.p, RHO_P_FLOOR))
+    zet = jnp.log(jnp.maximum(q.ev, RHO_P_FLOOR))
+    return xi, phix, phiy, phiz, lam, zet
+
+
+def _decode(cfg, xi, phix, phiy, phiz, lam, zet) -> PrimT:
+    return PrimT(
+        r=jnp.exp(xi),
+        u=cfg.u_ref * jnp.sinh(phix),
+        v=cfg.u_ref * jnp.sinh(phiy),
+        w=cfg.u_ref * jnp.sinh(phiz),
+        p=jnp.exp(lam),
+        ev=jnp.exp(zet),
+    )
+
+
+def init(cfg: Hypersonic3DConfig) -> Hypersonic3DState:
+    """Quiescent inflow-density gas; solid cells hold the wall state
+    (k_init, :939-985)."""
+    dt = cfg.jax_dtype
+    shape = (cfg.nz, cfg.ny, cfg.nx)
+    solid = jnp.asarray(build_solid(cfg))
+
+    r = max(cfg.inflow_r, RHO_P_FLOOR)
+    p = max(cfg.inflow_p, RHO_P_FLOOR)
+    T = p / (r * cfg.R)
+    ev_f = evib_eq_py(cfg, T)
+
+    # wall cells: T=Twall, same p, rho from ideal gas, ev at wall temp
+    rw = max(p / (cfg.R * max(cfg.Twall, NEWTON_TEMP_FLOOR)), RHO_P_FLOOR)
+    evw = evib_eq_py(cfg, cfg.Twall)
+
+    full = lambda v: jnp.full(shape, v, dt)  # noqa: E731
+    q = PrimT(
+        r=jnp.where(solid, full(rw), full(r)),
+        u=full(0.0), v=full(0.0), w=full(0.0),
+        p=full(p),
+        ev=jnp.where(solid, full(evw), full(ev_f)),
+    )
+    xi, phix, phiy, phiz, lam, zet = _encode(cfg, q)
+    return Hypersonic3DState(
+        xi=xi, phix=phix, phiy=phiy, phiz=phiz, lam=lam, zet=zet,
+        solid=solid,
+        t=jnp.asarray(cfg.t0, dt), dtau=jnp.asarray(cfg.dtau0, dt),
+    )
+
+
+# ------------------------------- stepping ----------------------------------
+
+
+def _pad_field(cfg, f, outflow_col):
+    """Halo-3 padding: x- side = will be overwritten by inflow/wall selects
+    (uses edge for now), x+ side = transmissive outflow ghost column, y/z
+    periodic wrap."""
+    # x: left pad handled by caller (inflow constant), right by outflow ghost
+    left = jnp.repeat(f[:, :, :1], HALO, axis=2) * 0  # placeholder, replaced
+    right = jnp.repeat(outflow_col[:, :, None], HALO, axis=2)
+    f = jnp.concatenate([left, f, right], axis=2)
+    # y periodic
+    f = jnp.concatenate([f[:, -HALO:, :], f, f[:, :HALO, :]], axis=1)
+    # z periodic
+    f = jnp.concatenate([f[-HALO:, :, :], f, f[:HALO, :, :]], axis=0)
+    return f
+
+
+def _padded_prims(cfg, q: PrimT, solid_pad):
+    """Build halo-extended primitive fields with all BCs resolved
+    (prim_at_xbc semantics + apply_wall on solid cells, :724-751)."""
+    infl = inflow_prim(cfg, q.r.dtype)
+
+    # transmissive outflow ghost from the last x column (:691-722)
+    qR = PrimT(*(f[:, :, -1] for f in q))
+    aR = soundspeed(cfg, qR)
+    un = qR.u
+    p_amb = max(cfg.inflow_p, RHO_P_FLOOR)
+    relax_p = jnp.maximum(qR.p + 0.05 * (p_amb - qR.p), RHO_P_FLOOR)
+    p_out = jnp.where(un < aR, relax_p, qR.p)
+    q_out = PrimT(
+        r=jnp.maximum(qR.r, RHO_P_FLOOR), u=qR.u, v=qR.v, w=qR.w,
+        p=jnp.maximum(p_out, RHO_P_FLOOR), ev=jnp.maximum(qR.ev, 0.0),
+    )
+    # reversed flow at the outlet snaps to inflow (:705-708)
+    q_out = PrimT(*(
+        jnp.where(un < 0.0, jnp.broadcast_to(i, o.shape), o)
+        for i, o in zip(infl, q_out)
+    ))
+
+    padded = []
+    for comp, out_col, infl_val in zip(q, q_out, infl):
+        p = _pad_field(cfg, comp, out_col)
+        # left x pad = inflow constant
+        p = p.at[:, :, :HALO].set(infl_val)
+        padded.append(p)
+    qp = PrimT(*padded)
+
+    # wall substitution on (extended) solid cells
+    wall = _pwall(cfg, qp)
+    qp = PrimT(*(jnp.where(solid_pad, w, f) for w, f in zip(wall, qp)))
+    return qp
+
+
+def _sl(f, axis, lo, hi_off):
+    """Static slice on the padded (nz+2H, ny+2H, nx+2H) array: the window
+    starting at halo offset `lo` with domain extent (+hi_off) along `axis`,
+    full domain extent on the other axes."""
+    starts = [HALO, HALO, HALO]
+    sizes = [f.shape[0] - 2 * HALO, f.shape[1] - 2 * HALO, f.shape[2] - 2 * HALO]
+    starts[axis] = lo
+    sizes[axis] = sizes[axis] + hi_off
+    return f[tuple(slice(st, st + n) for st, n in zip(starts, sizes))]
+
+
+def _face_prims(cfg, qp: PrimT, solid_pad, axis: int):
+    """WENO5 (or first-order near solids) L/R states on every interior+boundary
+    face along `axis`: face arrays have domain extent +1 along `axis`.
+
+    Face k sits between padded cells k+H-1 and k+H (k in [0, n]).
+    """
+    # arrays are (z, y, x); map spatial axis (0=x,1=y,2=z) to array axis
+    arr_ax = {0: 2, 1: 1, 2: 0}[axis]
+
+    def shifted(off):
+        # value of padded cell (face_index + H - 1 + off) => slice start
+        return PrimT(*(_sl(f, arr_ax, HALO - 1 + off, 1) for f in qp))
+
+    q_m2 = shifted(-2)
+    q_m1 = shifted(-1)
+    q_0 = shifted(0)     # left cell of the face
+    q_p1 = shifted(1)    # right cell of the face
+    q_p2 = shifted(2)
+    q_p3 = shifted(3)
+
+    L = PrimT(*(
+        weno5_left(a, b, c, d, e)
+        for a, b, c, d, e in zip(q_m2, q_m1, q_0, q_p1, q_p2)
+    ))
+    R = PrimT(*(
+        weno5_right(a, b, c, d, e)
+        for a, b, c, d, e in zip(q_m1, q_0, q_p1, q_p2, q_p3)
+    ))
+
+    def floor_prim(q):
+        return PrimT(
+            r=jnp.maximum(q.r, RHO_P_FLOOR), u=q.u, v=q.v, w=q.w,
+            p=jnp.maximum(q.p, RHO_P_FLOOR), ev=jnp.maximum(q.ev, 0.0),
+        )
+
+    L = floor_prim(L)
+    R = floor_prim(R)
+
+    # stencil degradation: any solid in the 6-cell line -> first-order pair
+    # (q_0, q_p1) (:1132-1138,1152-1158)
+    s_any = None
+    for off in (-2, -1, 0, 1, 2, 3):
+        s = _sl(solid_pad, arr_ax, HALO - 1 + off, 1)
+        s_any = s if s_any is None else (s_any | s)
+    L = PrimT(*(jnp.where(s_any, a, b) for a, b in zip(floor_prim(q_0), L)))
+    R = PrimT(*(jnp.where(s_any, a, b) for a, b in zip(floor_prim(q_p1), R)))
+    return L, R, q_0, q_p1
+
+
+def _mirror(q: PrimT, axis: int) -> PrimT:
+    comps = {"u": q.u, "v": q.v, "w": q.w}
+    key = ("u", "v", "w")[axis]
+    comps[key] = -comps[key]
+    return PrimT(r=q.r, u=comps["u"], v=comps["v"], w=comps["w"], p=q.p,
+                 ev=q.ev)
+
+
+def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState) -> Hypersonic3DState:
+    dtype = s.xi.dtype
+    solid = s.solid
+    solid_pad = jnp.asarray(build_solid(cfg, pad=HALO))
+
+    # τ advance (pre-step, :1680-1683)
+    t = s.t * jnp.exp(s.dtau)
+    dt = t * s.dtau
+    inflow_gain = jnp.clip(t / 0.02, 0.0, 1.0)
+
+    q = _decode(cfg, s.xi, s.phix, s.phiy, s.phiz, s.lam, s.zet)
+    qp = _padded_prims(cfg, q, solid_pad)
+
+    q0_cell = PrimT(*(f[HALO:-HALO, HALO:-HALO, HALO:-HALO] for f in qp))
+
+    fluxes = []
+    for axis in range(3):
+        arr_ax = {0: 2, 1: 1, 2: 0}[axis]
+        L, R, qface_l, qface_r = _face_prims(cfg, qp, solid_pad, axis)
+        F = hllc_flux(cfg, L, R, axis)
+
+        # wall-mirror override where the face touches a solid cell
+        # (:1128-1131, 1148-1151). This is per-SIDE: the cell left of the
+        # face uses (q_left, mirror(q_left)); the right cell uses
+        # (mirror(q_right), q_right).
+        sl = _sl(solid_pad, arr_ax, HALO - 1, 1)
+        sr = _sl(solid_pad, arr_ax, HALO, 1)
+        face_solid = sl | sr
+
+        F_from_left = hllc_flux(cfg, qface_l, _mirror(qface_l, axis), axis)
+        F_from_right = hllc_flux(cfg, _mirror(qface_r, axis), qface_r, axis)
+
+        fluxes.append((F, face_solid, F_from_left, F_from_right, arr_ax))
+
+    U0 = prim_to_cons(cfg, q0_cell)
+
+    inv_d = (1.0 / cfg.dx, 1.0 / cfg.dy, 1.0 / cfg.dz)
+    dU = None
+    for axis in range(3):
+        F, face_solid, F_wl, F_wr, arr_ax = fluxes[axis]
+        n = F.r.shape[arr_ax]
+
+        def lo(f):
+            return jax.lax.slice_in_dim(f, 0, n - 1, axis=arr_ax)
+
+        def hi(f):
+            return jax.lax.slice_in_dim(f, 1, n, axis=arr_ax)
+
+        # minus-face flux of each cell: face k; wall override -> mirrored
+        # Riemann problem seen from this (right-of-face) cell.
+        Fm = ConsT(*(
+            jnp.where(lo(face_solid), lo(w), lo(f)) for f, w in zip(F, F_wr)
+        ))
+        # plus-face flux: face k+1; wall override from this (left) cell.
+        Fp = ConsT(*(
+            jnp.where(hi(face_solid), hi(w), hi(f)) for f, w in zip(F, F_wl)
+        ))
+        contrib = ConsT(*(-(p - m) * inv_d[axis] for p, m in zip(Fp, Fm)))
+        dU = contrib if dU is None else ConsT(*(a + b for a, b in zip(dU, contrib)))
+
+    U1 = ConsT(*(u + dt * d for u, d in zip(U0, dU)))
+    q1 = cons_to_prim(cfg, U1)
+
+    # non-finite / non-physical repair -> inflow (:1284-1289)
+    bad = jnp.zeros_like(q1.r, bool)
+    for f in q1:
+        bad |= ~jnp.isfinite(f)
+    bad |= (q1.r <= 0.0) | (q1.p <= 0.0) | (q1.ev < 0.0)
+    infl = inflow_prim(cfg, dtype)
+    q1 = PrimT(*(
+        jnp.where(bad, jnp.broadcast_to(i, f.shape), f) for i, f in zip(infl, q1)
+    ))
+
+    # Landau–Teller relaxation (:1290-1293)
+    T1 = _temp(cfg, q1)
+    ev_eq = evib_eq(cfg, T1)
+    relax = dt / max(cfg.tau_vib, TAU_VIB_MIN)
+    q1 = q1._replace(ev=jnp.maximum(q1.ev + (ev_eq - q1.ev) * relax, 0.0))
+
+    # sponge layers (:1295-1344)
+    xs = np.arange(cfg.nx)
+    if cfg.sponge_n > 0:
+        sramp = np.clip(1.0 - xs / cfg.sponge_n, 0.0, 1.0)
+        k_in = jnp.asarray(cfg.sponge_strength * sramp**2, dtype)[None, None, :]
+        tgt_u = inflow_gain * cfg.inflow_u
+        tgt_v = inflow_gain * cfg.inflow_v
+        tgt_w = inflow_gain * cfg.inflow_w
+        tgtT = max(cfg.inflow_p, RHO_P_FLOOR) / (
+            max(cfg.inflow_r, RHO_P_FLOOR) * cfg.R
+        )
+        tgt_ev = evib_eq_py(cfg, tgtT)
+        q1 = PrimT(
+            r=jnp.maximum(q1.r + k_in * (max(cfg.inflow_r, RHO_P_FLOOR) - q1.r),
+                          RHO_P_FLOOR),
+            u=q1.u + k_in * (tgt_u - q1.u),
+            v=q1.v + k_in * (tgt_v - q1.v),
+            w=q1.w + k_in * (tgt_w - q1.w),
+            p=jnp.maximum(q1.p + k_in * (max(cfg.inflow_p, RHO_P_FLOOR) - q1.p),
+                          RHO_P_FLOOR),
+            ev=jnp.maximum(q1.ev + k_in * (tgt_ev - q1.ev), 0.0),
+        )
+    if cfg.sponge_out_n > 0:
+        xo = xs - (cfg.nx - cfg.sponge_out_n)
+        oramp = np.clip(xo / cfg.sponge_out_n, 0.0, 1.0) * (xo >= 0)
+        k_out = jnp.asarray(cfg.sponge_out_strength * oramp**2, dtype)[
+            None, None, :
+        ]
+        tgtT = max(cfg.inflow_p, RHO_P_FLOOR) / (
+            max(cfg.inflow_r, RHO_P_FLOOR) * cfg.R
+        )
+        tgt_ev = evib_eq_py(cfg, tgtT)
+        q1 = PrimT(
+            r=jnp.maximum(
+                q1.r + k_out * (max(cfg.inflow_r, RHO_P_FLOOR) - q1.r),
+                RHO_P_FLOOR),
+            u=q1.u + k_out * (0.0 - q1.u),
+            v=q1.v + k_out * (0.0 - q1.v),
+            w=q1.w + k_out * (0.0 - q1.w),
+            p=jnp.maximum(
+                q1.p + k_out * (max(cfg.inflow_p, RHO_P_FLOOR) - q1.p),
+                RHO_P_FLOOR),
+            ev=jnp.maximum(q1.ev + k_out * (tgt_ev - q1.ev), 0.0),
+        )
+
+    # max wavespeed over fluid cells (atomicMaxFloat analog, :1345-1351)
+    a1 = soundspeed(cfg, q1)
+    ssum = (jnp.abs(q1.u) + a1) / cfg.dx + (jnp.abs(q1.v) + a1) / cfg.dy \
+        + (jnp.abs(q1.w) + a1) / cfg.dz
+    ssum = jnp.where(jnp.isfinite(ssum) & ~solid, ssum, 0.0)
+    maxs = jnp.max(ssum)
+
+    # dτ feedback controller (:1697-1704)
+    dt_cfl = cfg.cfl / jnp.maximum(maxs, 1e-9)
+    dtau = jnp.where(
+        dt > 1.10 * dt_cfl, s.dtau * 0.80,
+        jnp.where(dt < 0.85 * dt_cfl, s.dtau * 1.10, s.dtau),
+    )
+    dtau = jnp.clip(dtau, 1e-7, 5e-2)
+
+    xi2, phix2, phiy2, phiz2, lam2, zet2 = _encode(cfg, q1)
+
+    # solid cells keep their previous state (:1063-1072)
+    keep = lambda new, old: jnp.where(solid, old, new)  # noqa: E731
+    return Hypersonic3DState(
+        xi=keep(xi2, s.xi), phix=keep(phix2, s.phix), phiy=keep(phiy2, s.phiy),
+        phiz=keep(phiz2, s.phiz), lam=keep(lam2, s.lam), zet=keep(zet2, s.zet),
+        solid=solid, t=t, dtau=dtau,
+    )
+
+
+def run(cfg: Hypersonic3DConfig, s: Hypersonic3DState, n_steps: int):
+    from ..core.stepper import scan_steps
+
+    return scan_steps(lambda st: step(cfg, st), s, n_steps)
+
+
+# ------------------------------ view modes ---------------------------------
+
+VIS_MODES = [
+    "schlieren", "log_rho", "log_p", "speed", "mach", "vorticity",
+    "divergence", "q_criterion",
+]
+
+
+def vis_field(cfg, s: Hypersonic3DState, mode: str):
+    """Diagnostic scalar volume (k_vis, :800-905); zero inside solids."""
+    q = _decode(cfg, s.xi, s.phix, s.phiy, s.phiz, s.lam, s.zet)
+    solid_pad = jnp.asarray(build_solid(cfg, pad=HALO))
+    qp = _padded_prims(cfg, q, solid_pad)
+    qc = PrimT(*(f[HALO:-HALO, HALO:-HALO, HALO:-HALO] for f in qp))
+
+    if mode == "log_rho":
+        out = jnp.log1p(jnp.maximum(qc.r, 0.0))
+    elif mode == "log_p":
+        out = jnp.log1p(jnp.maximum(qc.p, 0.0))
+    elif mode == "speed":
+        out = jnp.sqrt(qc.u**2 + qc.v**2 + qc.w**2)
+    elif mode == "mach":
+        out = jnp.sqrt(qc.u**2 + qc.v**2 + qc.w**2) / jnp.maximum(
+            soundspeed(cfg, qc), DENOM_EPS
+        )
+    else:
+        def nb(axis, off):
+            arr_ax = {0: 2, 1: 1, 2: 0}[axis]
+            return PrimT(*(_sl(f, arr_ax, HALO + off, 0) for f in qp))
+
+        qxm, qxp = nb(0, -1), nb(0, 1)
+        qym, qyp = nb(1, -1), nb(1, 1)
+        qzm, qzp = nb(2, -1), nb(2, 1)
+        i2x, i2y, i2z = 0.5 / cfg.dx, 0.5 / cfg.dy, 0.5 / cfg.dz
+
+        if mode == "schlieren":
+            gx = (qxp.r - qxm.r) * i2x
+            gy = (qyp.r - qym.r) * i2y
+            gz = (qzp.r - qzm.r) * i2z
+            out = jnp.sqrt(gx * gx + gy * gy + gz * gz)
+        else:
+            dudx, dudy, dudz = (qxp.u - qxm.u) * i2x, (qyp.u - qym.u) * i2y, \
+                (qzp.u - qzm.u) * i2z
+            dvdx, dvdy, dvdz = (qxp.v - qxm.v) * i2x, (qyp.v - qym.v) * i2y, \
+                (qzp.v - qzm.v) * i2z
+            dwdx, dwdy, dwdz = (qxp.w - qxm.w) * i2x, (qyp.w - qym.w) * i2y, \
+                (qzp.w - qzm.w) * i2z
+            if mode == "divergence":
+                out = dudx + dvdy + dwdz
+            elif mode == "vorticity":
+                wx = dwdy - dvdz
+                wy = dudz - dwdx
+                wz = dvdx - dudy
+                out = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+            elif mode == "q_criterion":
+                O12 = 0.5 * (dudy - dvdx)
+                O13 = 0.5 * (dudz - dwdx)
+                O23 = 0.5 * (dvdz - dwdy)
+                Om2 = 2.0 * (O12**2 + O13**2 + O23**2)
+                S12 = 0.5 * (dudy + dvdx)
+                S13 = 0.5 * (dudz + dwdx)
+                S23 = 0.5 * (dvdz + dwdy)
+                Sm2 = dudx**2 + dvdy**2 + dwdz**2 \
+                    + 2.0 * (S12**2 + S13**2 + S23**2)
+                out = 0.5 * (Om2 - Sm2)
+            else:
+                raise ValueError(f"unknown vis mode {mode}")
+
+    return jnp.where(s.solid, 0.0, out)
