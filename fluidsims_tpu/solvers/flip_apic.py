@@ -1,0 +1,247 @@
+"""2-D hybrid FLIP/APIC incompressible fluid on a collocated grid.
+
+Behavioral spec: tau_flip_apic.cu — jittered block seed with initial swirl
+(k_seed :72-93); linear-hat P2G with blendable APIC affine term (k_p2g
+:105-131); grid normalize + gravity + edge clamps (k_normalize_forces
+:133-150); central divergence, 48 Jacobi pressure iterations, gradient
+projection (k_divergence/k_jacobi/k_project :152-184); bilinear G2P with
+FLIP/PIC blend, affine matrix from central differences of the projected
+field, advection with restitution -0.35 walls at [0.01, 0.99], and density
+rasterization (sample_grid/k_g2p :186-241).
+
+TPU design: the atomicAdd P2G scatter becomes 9 masked `.at[].add`
+scatter-adds (one per stencil offset) with statically-shaped flat indices;
+G2P is a pure bilinear gather.  The Jacobi loop is lax.fori_loop; the whole
+step is one jit region.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.config import BaseConfig
+
+__all__ = ["FlipApicConfig", "FlipApicState", "init", "step", "run",
+           "density_grid"]
+
+
+@dataclass(frozen=True)
+class FlipApicConfig(BaseConfig):
+    particles: int = 1 << 16
+    grid: int = 128
+    jacobi: int = 48
+    dt: float = 0.004
+    gravity: float = 7.5
+    flip: float = 0.97
+    apic: float = 0.85
+    jitter: float = 0.22
+    seed: int = 1337
+    dtype: str = "float32"
+
+    def validate(self):
+        self._require(self.particles > 0, "particles must be positive")
+        self._require(self.grid >= 16, "grid must be >= 16")
+        self._require(0.0 <= self.flip <= 1.0, "flip in [0,1]")
+        self._require(0.0 <= self.apic <= 1.0, "apic in [0,1]")
+
+
+class FlipApicState(NamedTuple):
+    pos: jnp.ndarray       # (np, 2) in [0,1]^2
+    vel: jnp.ndarray       # (np, 2)
+    affine_x: jnp.ndarray  # (np, 2) APIC d(vel)/dx
+    affine_y: jnp.ndarray  # (np, 2) APIC d(vel)/dy
+    density: jnp.ndarray   # (n, n) int32 particle counts (render state)
+
+
+def init(cfg: FlipApicConfig) -> FlipApicState:
+    """Jittered block with a swirl velocity field (k_seed, :72-93), using the
+    reference's integer hash for the jitter."""
+    n_p = cfg.particles
+    side = int(np.ceil(np.sqrt(n_p)))
+    idx = np.arange(n_p, dtype=np.uint64)
+    ix = idx % side
+    iy = idx // side
+    h = (idx * np.uint64(747796405) + np.uint64(cfg.seed * 2891336453)) \
+        & np.uint64(0xFFFFFFFF)
+    h = ((h ^ (h >> np.uint64(16))) * np.uint64(2246822519)) \
+        & np.uint64(0xFFFFFFFF)
+    rx = ((h & np.uint64(1023)).astype(np.float64) / 1023.0 - 0.5) * cfg.jitter
+    ry = (((h >> np.uint64(10)) & np.uint64(1023)).astype(np.float64) / 1023.0
+          - 0.5) * cfg.jitter
+    x = 0.12 + 0.45 * ((ix + 0.5 + rx) / side)
+    y = 0.12 + 0.74 * ((iy + 0.5 + ry) / side)
+    x = np.clip(x, 0.02, 0.98)
+    y = np.clip(y, 0.02, 0.98)
+    cx, cy = x - 0.38, y - 0.55
+    vel = np.stack([-1.8 * cy, 1.8 * cx], -1)
+
+    dt = cfg.jax_dtype
+    return FlipApicState(
+        pos=jnp.asarray(np.stack([x, y], -1), dt),
+        vel=jnp.asarray(vel, dt),
+        affine_x=jnp.zeros((n_p, 2), dt),
+        affine_y=jnp.zeros((n_p, 2), dt),
+        density=jnp.zeros((cfg.grid, cfg.grid), jnp.int32),
+    )
+
+
+def _w1(x):
+    """Linear hat weight (w1, :67-70)."""
+    ax = jnp.abs(x)
+    return jnp.where(ax < 1.0, 1.0 - ax, 0.0)
+
+
+def _p2g(cfg, pos, vel, ax, ay):
+    """Particle-to-grid mass/momentum transfer (k_p2g, :105-131): the CUDA
+    atomicAdd becomes 9 masked scatter-adds."""
+    n = cfg.grid
+    gx = pos[:, 0] * (n - 1)
+    gy = pos[:, 1] * (n - 1)
+    base_x = jnp.floor(gx).astype(jnp.int32)
+    base_y = jnp.floor(gy).astype(jnp.int32)
+
+    mass = jnp.zeros(n * n, pos.dtype)
+    mom_u = jnp.zeros(n * n, pos.dtype)
+    mom_v = jnp.zeros(n * n, pos.dtype)
+
+    for oy in (-1, 0, 1):
+        j = jnp.clip(base_y + oy, 0, n - 1)
+        wy = _w1(gy - j)
+        for ox in (-1, 0, 1):
+            i = jnp.clip(base_x + ox, 0, n - 1)
+            wx = _w1(gx - i)
+            wt = wx * wy
+            rx = (i - gx) / (n - 1)
+            ry = (j - gy) / (n - 1)
+            vvx = vel[:, 0] + cfg.apic * (ax[:, 0] * rx + ay[:, 0] * ry)
+            vvy = vel[:, 1] + cfg.apic * (ax[:, 1] * rx + ay[:, 1] * ry)
+            flat = j * n + i
+            ok = wt > 0.0
+            flat = jnp.where(ok, flat, n * n)
+            mass = mass.at[flat].add(jnp.where(ok, wt, 0.0), mode="drop")
+            mom_u = mom_u.at[flat].add(jnp.where(ok, wt * vvx, 0.0),
+                                       mode="drop")
+            mom_v = mom_v.at[flat].add(jnp.where(ok, wt * vvy, 0.0),
+                                       mode="drop")
+    return (mass.reshape(n, n), mom_u.reshape(n, n), mom_v.reshape(n, n))
+
+
+def _sample(u, v, px, py, n):
+    """Bilinear velocity sample (sample_grid, :186-200). Arrays are (n, n)
+    with [j, i] = [y, x]."""
+    gx = jnp.clip(px * (n - 1), 0.0, n - 1.001)
+    gy = jnp.clip(py * (n - 1), 0.0, n - 1.001)
+    i0 = jnp.floor(gx).astype(jnp.int32)
+    j0 = jnp.floor(gy).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n - 1)
+    j1 = jnp.minimum(j0 + 1, n - 1)
+    tx = gx - i0
+    ty = gy - j0
+
+    def bil(f):
+        f00 = f[j0, i0]
+        f10 = f[j0, i1]
+        f01 = f[j1, i0]
+        f11 = f[j1, i1]
+        return (1 - tx) * ((1 - ty) * f00 + ty * f01) \
+            + tx * ((1 - ty) * f10 + ty * f11)
+
+    return bil(u), bil(v)
+
+
+def step(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
+    n = cfg.grid
+    dt = cfg.dt
+
+    mass, u, v = _p2g(cfg, s.pos, s.vel, s.affine_x, s.affine_y)
+
+    # normalize + gravity + boundary clamps (k_normalize_forces, :133-150)
+    has_mass = mass > 1e-8
+    u = jnp.where(has_mass, u / jnp.maximum(mass, 1e-8), u)
+    v = jnp.where(has_mass, v / jnp.maximum(mass, 1e-8) - cfg.gravity * dt, v)
+    col = jnp.arange(n)
+    edge_x = (col == 0) | (col == n - 1)
+    u = jnp.where(edge_x[None, :], 0.0, u)
+    v = jnp.where(edge_x[:, None], 0.0, v)
+    u_prev, v_prev = u, v
+
+    # divergence on the interior (k_divergence, :152-161)
+    div = jnp.zeros_like(u)
+    div = div.at[1:-1, 1:-1].set(
+        -0.5 * (n - 1) * (
+            u[1:-1, 2:] - u[1:-1, :-2] + v[2:, 1:-1] - v[:-2, 1:-1]
+        )
+    )
+
+    # Jacobi pressure (k_jacobi, :162-172); boundary ring stays 0
+    def jac(_, p):
+        interior = 0.25 * (
+            div[1:-1, 1:-1]
+            + p[1:-1, :-2] + p[1:-1, 2:] + p[:-2, 1:-1] + p[2:, 1:-1]
+        )
+        return jnp.zeros_like(p).at[1:-1, 1:-1].set(interior)
+
+    p = lax.fori_loop(0, cfg.jacobi, jac, jnp.zeros_like(u))
+
+    # projection on the interior (k_project, :173-184); u_proj starts at 0
+    # (cleared each step) and only the interior is written — matching the
+    # reference's k_clear_grid + interior-only k_project.
+    u_proj = jnp.zeros_like(u).at[1:-1, 1:-1].set(
+        u[1:-1, 1:-1] - 0.5 * (p[1:-1, 2:] - p[1:-1, :-2]) / (n - 1)
+    )
+    v_proj = jnp.zeros_like(v).at[1:-1, 1:-1].set(
+        v[1:-1, 1:-1] - 0.5 * (p[2:, 1:-1] - p[:-2, 1:-1]) / (n - 1)
+    )
+
+    # G2P (k_g2p, :202-241)
+    px, py = s.pos[:, 0], s.pos[:, 1]
+    new_u, new_v = _sample(u_proj, v_proj, px, py, n)
+    old_u, old_v = _sample(u_prev, v_prev, px, py, n)
+    flip_u = s.vel[:, 0] + new_u - old_u
+    flip_v = s.vel[:, 1] + new_v - old_v
+    vel_x = (1 - cfg.flip) * new_u + cfg.flip * flip_u
+    vel_y = (1 - cfg.flip) * new_v + cfg.flip * flip_v
+
+    h = 1.0 / (n - 1)
+    ux1, vx1 = _sample(u_proj, v_proj, px + h, py, n)
+    ux0, vx0 = _sample(u_proj, v_proj, px - h, py, n)
+    uy1, vy1 = _sample(u_proj, v_proj, px, py + h, n)
+    uy0, vy0 = _sample(u_proj, v_proj, px, py - h, n)
+    affine_x = jnp.stack([0.5 * (ux1 - ux0) / h, 0.5 * (vx1 - vx0) / h], -1)
+    affine_y = jnp.stack([0.5 * (uy1 - uy0) / h, 0.5 * (vy1 - vy0) / h], -1)
+
+    nx = px + vel_x * dt
+    ny_ = py + vel_y * dt
+    hit_x = (nx < 0.01) | (nx > 0.99)
+    hit_y = (ny_ < 0.01) | (ny_ > 0.99)
+    vel_x = jnp.where(hit_x, vel_x * -0.35, vel_x)
+    vel_y = jnp.where(hit_y, vel_y * -0.35, vel_y)
+    nx = jnp.clip(nx, 0.01, 0.99)
+    ny_ = jnp.clip(ny_, 0.01, 0.99)
+
+    rx = jnp.clip((nx * n).astype(jnp.int32), 0, n - 1)
+    ry = jnp.clip((ny_ * n).astype(jnp.int32), 0, n - 1)
+    density = jnp.zeros(n * n, jnp.int32).at[ry * n + rx].add(1).reshape(n, n)
+
+    return FlipApicState(
+        pos=jnp.stack([nx, ny_], -1),
+        vel=jnp.stack([vel_x, vel_y], -1),
+        affine_x=affine_x,
+        affine_y=affine_y,
+        density=density,
+    )
+
+
+def density_grid(s: FlipApicState):
+    return s.density
+
+
+def run(cfg: FlipApicConfig, s: FlipApicState, n_steps: int) -> FlipApicState:
+    from ..core.stepper import scan_steps
+
+    return scan_steps(lambda st: step(cfg, st), s, n_steps)

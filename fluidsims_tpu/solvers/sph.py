@@ -1,0 +1,376 @@
+"""2-D weakly-compressible SPH on the τ clock, 65k particles.
+
+Behavioral spec: tau_sph.cu — cubic-spline kernel (W_cubic :105-116,
+gradW_cubic :118-133); Tait EOS on log-density s = ln rho (:207-213);
+pressure-gradient + Monaghan artificial viscosity forces (:215-266, beta
+term omitted as in the reference); optional XSPH velocity smoothing
+(:274-313); symplectic Euler with restitution-0.2 box walls (:324-355);
+GPU rain emitter with an LCG hash overwriting random particle slots
+(:377-391, fractional accumulator :706-716); jittered-lattice init
+(:493-510); analytic CFL dt = CFL*h/(c0(1+2α)) capped by t*dτ (:666-668)
+with exact τ bookkeeping per substep (:718-721).
+
+TPU design: the atomicExch linked-list neighbor grid becomes a sort-based
+fixed-capacity cell list (fluidsims_tpu.ops.cell_list); the two 3x3-cell
+neighbor traversals become 9 masked (N, capacity) gather+reduce passes —
+static shapes, no data-dependent loops, whole step in one jit.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import BaseConfig
+from ..ops import cell_list as cl_ops
+
+__all__ = ["SPHConfig", "SPHState", "init", "step", "run", "density",
+           "rasterize_counts"]
+
+
+@dataclass(frozen=True)
+class SPHConfig(BaseConfig):
+    n: int = 1 << 16
+    box_x: float = 1.0
+    box_y: float = 1.0
+    dtau: float = 1.0
+    t0: float = 1.0
+    cfl: float = 1.0
+    rho0: float = 1.0
+    c0: float = 1.0
+    gamma_eos: float = 1.0
+    h_mul: float = 2.0
+    visc_alpha: float = 0.25
+    gravity: float = 9.81
+    use_visc: bool = True
+    use_grav: bool = True
+    visc_substeps: int = 1
+    use_xsph: bool = False
+    xsph_eps: float = 0.25
+    rain: bool = True
+    seed: int = 69420
+    cell_capacity: int = 0   # 0 = auto (8x mean occupancy, min 32)
+    dtype: str = "float32"
+
+    def validate(self):
+        self._require(self.n > 0, "n must be positive")
+        self._require(self.box_x > 0 and self.box_y > 0, "box must be positive")
+        self._require(self.c0 > 0, "c0 must be positive")
+        self._require(self.visc_substeps >= 1, "visc_substeps >= 1")
+
+    @property
+    def area(self):
+        return self.box_x * self.box_y
+
+    @property
+    def mass(self):
+        return self.rho0 * self.area / self.n
+
+    @property
+    def spacing(self):
+        return math.sqrt(self.area / self.n)
+
+    @property
+    def h(self):
+        return self.h_mul * self.spacing
+
+    def grid(self) -> cl_ops.CellGrid:
+        cap = self.cell_capacity
+        if cap <= 0:
+            cell = 2.0 * self.h
+            mean_occ = self.n * cell * cell / self.area
+            cap = max(32, int(8 * mean_occ))
+        return cl_ops.make_grid(self.box_x, self.box_y, self.h, cap)
+
+
+class SPHState(NamedTuple):
+    pos: jnp.ndarray   # (n, 2)
+    vel: jnp.ndarray   # (n, 2)
+    t: jnp.ndarray
+    tau: jnp.ndarray
+    rain_carry: jnp.ndarray
+    step_idx: jnp.ndarray
+
+
+# ------------------------------ kernels ------------------------------------
+
+
+def w_cubic(r, h):
+    """2-D cubic spline kernel (tau_sph.cu:105-116)."""
+    q = r / h
+    alpha = 10.0 / (7.0 * math.pi * h * h)
+    q2 = q * q
+    inner = alpha * (1.0 - 1.5 * q2 + 0.75 * q2 * q)
+    t = 2.0 - q
+    outer = alpha * 0.25 * t * t * t
+    return jnp.where(q < 1.0, inner, jnp.where(q < 2.0, outer, 0.0))
+
+
+def grad_w_cubic(rij, r, h):
+    """Gradient of the cubic kernel w.r.t. x_i (tau_sph.cu:118-133).
+    rij: (..., 2), r: (...)."""
+    q = r / h
+    alpha = 10.0 / (7.0 * math.pi * h * h)
+    dWdq = jnp.where(
+        q < 1.0,
+        alpha * (-3.0 * q + 2.25 * q * q),
+        alpha * (-0.75 * (2.0 - q) ** 2),
+    )
+    ok = (r > 1e-8) & (r < 2.0 * h)
+    scale = jnp.where(ok, dWdq / (h * jnp.maximum(r, 1e-8)), 0.0)
+    return rij * scale[..., None]
+
+
+def tait_pressure(cfg, rho):
+    ratio = rho / cfg.rho0
+    p = (cfg.c0**2) * cfg.rho0 * (ratio**cfg.gamma_eos - 1.0) / cfg.gamma_eos
+    return jnp.maximum(p, 0.0)
+
+
+# ------------------------------- init --------------------------------------
+
+
+def init(cfg: SPHConfig) -> SPHState:
+    """Jittered lattice filling the lower 60% of the box
+    (reset_particles, tau_sph.cu:493-510)."""
+    rng = np.random.default_rng(cfg.seed)
+    n = cfg.n
+    n_side = int(math.sqrt(n))
+    nx = n_side
+    ny = (n + n_side - 1) // n_side
+    pad_x, pad_y = 0.05 * cfg.box_x, 0.05 * cfg.box_y
+    width = cfg.box_x - 2 * pad_x
+    height = 0.6 * cfg.box_y - pad_y
+
+    i = np.arange(n)
+    ix = i % nx
+    iy = i // nx
+    x = pad_x + (ix + 0.5) / nx * width
+    y = pad_y + (iy + 0.5) / ny * height
+    x = x + (rng.random(n) - 0.5) * 0.2 * width / nx
+    y = y + (rng.random(n) - 0.5) * 0.2 * height / ny
+
+    dt = cfg.jax_dtype
+    pos = jnp.asarray(np.stack([x, y], -1), dt)
+    vel = jnp.zeros((n, 2), dt)
+    return SPHState(
+        pos=pos, vel=vel,
+        t=jnp.asarray(cfg.t0, dt), tau=jnp.asarray(0.0, dt),
+        rain_carry=jnp.asarray(0.0, dt),
+        step_idx=jnp.asarray(0, jnp.int32),
+    )
+
+
+# --------------------------- neighbor passes --------------------------------
+
+
+def _neighbor_reduce(cfg, grid, cl, pos, fn, init_vals):
+    """Accumulate fn over all neighbor candidates, one 3x3 offset at a time
+    (keeps peak gather memory at (n, capacity) per field)."""
+    acc = init_vals
+    for ox, oy in cl_ops.NEIGHBOR_OFFSETS:
+        idx, valid = cl_ops.neighbor_indices(grid, cl, ox, oy)
+        acc = fn(acc, idx, valid)
+    return acc
+
+
+def density(cfg: SPHConfig, pos, grid=None, cl=None):
+    """SPH density + Tait pressure on log-density
+    (k_density_pressure_cell, tau_sph.cu:178-213)."""
+    grid = grid or cfg.grid()
+    cl = cl or cl_ops.build_cell_list(grid, pos)
+    h = cfg.h
+    two_h2 = (2.0 * h) ** 2
+
+    def add(rho, idx, valid):
+        pj = pos[jnp.clip(idx, 0, cl.n - 1)]          # (n, K, 2)
+        rij = pos[:, None, :] - pj
+        r2 = jnp.sum(rij * rij, axis=-1)
+        ok = valid & (r2 < two_h2)
+        w = jnp.where(ok, w_cubic(jnp.sqrt(jnp.maximum(r2, 0.0)), h), 0.0)
+        return rho + cfg.mass * jnp.sum(w, axis=1)
+
+    rho = _neighbor_reduce(cfg, grid, cl, pos, add,
+                           jnp.zeros(pos.shape[0], pos.dtype))
+    s = jnp.log(jnp.maximum(rho, 1e-6))
+    rho = jnp.exp(s)
+    return s, rho, tait_pressure(cfg, rho), cl, grid
+
+
+def forces(cfg: SPHConfig, pos, vel, s, press, grid, cl):
+    """Pressure gradient + Monaghan viscosity + gravity
+    (k_forces_cell, tau_sph.cu:215-266)."""
+    h = cfg.h
+    two_h2 = (2.0 * h) ** 2
+    rho = jnp.exp(s)
+    n = pos.shape[0]
+    self_idx = jnp.arange(n, dtype=jnp.int32)
+
+    def add(acc, idx, valid):
+        j = jnp.clip(idx, 0, n - 1)
+        pj = pos[j]
+        rij = pos[:, None, :] - pj
+        r2 = jnp.sum(rij * rij, axis=-1)
+        ok = valid & (r2 < two_h2) & (r2 > 1e-16) & (idx != self_idx[:, None])
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        gw = grad_w_cubic(rij, r, h)
+
+        rho_j = rho[j]
+        p_j = press[j]
+        common = -cfg.mass * (
+            press[:, None] / (rho[:, None] ** 2) + p_j / (rho_j**2)
+        )
+        a = common[..., None] * gw
+
+        if cfg.use_visc:
+            vij = vel[:, None, :] - vel[j]
+            dot = jnp.sum(vij * rij, axis=-1)
+            mu = (h * dot) / (r2 + 0.01 * h * h)
+            rho_bar = 0.5 * (rho[:, None] + rho_j)
+            pi_ij = jnp.where(dot < 0.0, (-cfg.visc_alpha * cfg.c0 * mu)
+                              / rho_bar, 0.0)
+            a = a + (-cfg.mass * pi_ij)[..., None] * gw
+
+        a = jnp.where(ok[..., None], a, 0.0)
+        return acc + jnp.sum(a, axis=1)
+
+    acc = _neighbor_reduce(cfg, grid, cl, pos, add, jnp.zeros_like(pos))
+    if cfg.use_grav:
+        acc = acc + jnp.asarray([0.0, -cfg.gravity], pos.dtype)
+    return acc
+
+
+def xsph(cfg: SPHConfig, pos, vel, s, grid, cl):
+    """XSPH velocity smoothing (k_xsph_cell, tau_sph.cu:274-313)."""
+    h = cfg.h
+    two_h2 = (2.0 * h) ** 2
+    rho = jnp.exp(s)
+    n = pos.shape[0]
+    self_idx = jnp.arange(n, dtype=jnp.int32)
+
+    def add(acc, idx, valid):
+        j = jnp.clip(idx, 0, n - 1)
+        rij = pos[:, None, :] - pos[j]
+        r2 = jnp.sum(rij * rij, axis=-1)
+        ok = valid & (r2 < two_h2) & (idx != self_idx[:, None])
+        w = jnp.where(ok, w_cubic(jnp.sqrt(jnp.maximum(r2, 0.0)), h), 0.0)
+        rho_bar = 0.5 * (rho[:, None] + rho[j])
+        vij = vel[j] - vel[:, None, :]
+        return acc + jnp.sum(
+            ((cfg.mass / rho_bar) * w)[..., None] * vij, axis=1
+        )
+
+    dv = _neighbor_reduce(cfg, grid, cl, pos, add, jnp.zeros_like(vel))
+    return cfg.xsph_eps * dv
+
+
+def _integrate(cfg, pos, vel, acc, dt):
+    """Symplectic Euler + restitution walls (k_integrate, tau_sph.cu:324-355)."""
+    e = 0.2
+    v = vel + acc * dt
+    x = pos + v * dt
+
+    lo_x = x[:, 0] < 0.0
+    hi_x = x[:, 0] > cfg.box_x
+    lo_y = x[:, 1] < 0.0
+    hi_y = x[:, 1] > cfg.box_y
+    x0 = jnp.where(lo_x, 0.0, jnp.where(hi_x, cfg.box_x, x[:, 0]))
+    y0 = jnp.where(lo_y, 0.0, jnp.where(hi_y, cfg.box_y, x[:, 1]))
+    vx = jnp.where(lo_x | hi_x, -e * v[:, 0], v[:, 0])
+    vy = jnp.where(lo_y | hi_y, -e * v[:, 1], v[:, 1])
+    return jnp.stack([x0, y0], -1), jnp.stack([vx, vy], -1)
+
+
+_RAIN_MAX = 64  # static spawn-slot bound per substep
+
+
+def _rain(cfg, pos, vel, nspawn, seed):
+    """Rain emitter with the reference's LCG hash (k_rain, tau_sph.cu:377-391);
+    spawns up to _RAIN_MAX particles by overwriting hashed slots."""
+    k = jnp.arange(_RAIN_MAX, dtype=jnp.uint32)
+    A = jnp.uint32(1664525)
+    C = jnp.uint32(1013904223)
+    s = jnp.uint32(seed) ^ (k * A + C)
+    s = s * A + C
+    rx = (s & jnp.uint32(0x00FFFFFF)).astype(pos.dtype) / 16777216.0
+    x = rx * (cfg.box_x * 0.8) + 0.1 * cfg.box_x
+    s = s * A + C
+    ry = (s & jnp.uint32(0x00FFFFFF)).astype(pos.dtype) / 16777216.0
+    y = cfg.box_y * (0.9 + 0.08 * ry)
+    slots = (s % jnp.uint32(cfg.n)).astype(jnp.int32)
+
+    active = k < nspawn.astype(jnp.uint32)
+    tgt = jnp.where(active, slots, cfg.n)  # inactive -> dropped
+    new_p = jnp.stack([x, y], -1)
+    new_v = jnp.stack([jnp.zeros_like(x), jnp.full_like(x, -0.5 * cfg.c0)], -1)
+    pos = pos.at[tgt].set(new_p, mode="drop")
+    vel = vel.at[tgt].set(new_v, mode="drop")
+    return pos, vel
+
+
+def step(cfg: SPHConfig, st: SPHState) -> SPHState:
+    """One frame step = K substeps of build-cells -> density -> forces ->
+    integrate -> (xsph) -> (rain), with τ bookkeeping per substep
+    (main loop, tau_sph.cu:659-722)."""
+    K = cfg.visc_substeps
+    dt_try = st.t * cfg.dtau
+    dt_cfl = cfg.cfl * cfg.h / (cfg.c0 * (1.0 + 2.0 * cfg.visc_alpha))
+    dt_eff = jnp.minimum(dt_try, dt_cfl)
+    dt_sub = dt_eff / K
+
+    grid = cfg.grid()
+    pos, vel = st.pos, st.vel
+    rain_carry = st.rain_carry
+    t = st.t
+    dtau_accum = jnp.asarray(0.0, st.t.dtype)
+
+    for k in range(K):
+        s, rho, press, cl, _ = density(cfg, pos, grid)
+        acc = forces(cfg, pos, vel, s, press, grid, cl)
+        pos, vel = _integrate(cfg, pos, vel, acc, dt_sub)
+
+        if cfg.use_xsph and cfg.xsph_eps > 0.0:
+            # The reference runs XSPH on post-integrate positions but with
+            # the PRE-integrate cell list and densities (tau_sph.cu:698-704:
+            # cellHead/next and d.s are not rebuilt after k_integrate).
+            dv = xsph(cfg, pos, vel, s, grid, cl)
+            vel = vel + dv
+
+        if cfg.rain:
+            rain_carry = rain_carry + 0.02 * cfg.n * dt_sub
+            nspawn = jnp.minimum(jnp.floor(rain_carry), _RAIN_MAX).astype(
+                jnp.int32
+            )
+            rain_carry = rain_carry - nspawn
+            pos, vel = _rain(cfg, pos, vel, nspawn,
+                             cfg.seed + st.step_idx)
+
+        dtau_actual = dt_sub / jnp.maximum(t, 1e-9)
+        dtau_accum = dtau_accum + dtau_actual
+        t = cfg.t0 * jnp.exp(st.tau + dtau_accum)
+
+    return SPHState(
+        pos=pos, vel=vel, t=t, tau=st.tau + dtau_accum,
+        rain_carry=rain_carry, step_idx=st.step_idx + 1,
+    )
+
+
+def run(cfg: SPHConfig, st: SPHState, n_steps: int) -> SPHState:
+    from ..core.stepper import scan_steps
+
+    return scan_steps(lambda s: step(cfg, s), st, n_steps)
+
+
+def rasterize_counts(cfg: SPHConfig, pos, W: int, H: int):
+    """Particle counts on a 2x-vertical terminal grid
+    (k_rasterize, tau_sph.cu:363-374)."""
+    cx = (pos[:, 0] / cfg.box_x * (W - 1)).astype(jnp.int32)
+    sy = ((cfg.box_y - pos[:, 1]) / cfg.box_y * (2 * H - 1)).astype(jnp.int32)
+    ok = (cx >= 0) & (cx < W) & (sy >= 0) & (sy < 2 * H)
+    flat = jnp.where(ok, sy * W + cx, 2 * H * W)
+    grid = jnp.zeros(2 * H * W, jnp.int32).at[flat].add(1, mode="drop")
+    return grid.reshape(2 * H, W)

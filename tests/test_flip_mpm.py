@@ -1,0 +1,93 @@
+"""FLIP/APIC and MPM tests: transfer-operator exactness (partition of unity,
+momentum conservation), stability, and material behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidsims_tpu.solvers import flip_apic as fa
+from fluidsims_tpu.solvers import mpm
+
+
+# ----------------------------- FLIP/APIC -----------------------------------
+
+
+def test_p2g_partition_of_unity_and_momentum():
+    cfg = fa.FlipApicConfig(particles=2048, grid=64)
+    s = fa.init(cfg)
+    mass, u, v = fa._p2g(cfg, s.pos, s.vel, s.affine_x, s.affine_y)
+    # hat weights sum to 1 per particle (interior particles; seed keeps all
+    # well inside [0.02, 0.98])
+    np.testing.assert_allclose(float(jnp.sum(mass)), cfg.particles, rtol=1e-4)
+    # with zero affine matrices, grid momentum equals particle momentum
+    np.testing.assert_allclose(
+        float(jnp.sum(u)), float(jnp.sum(s.vel[:, 0])), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(jnp.sum(v)), float(jnp.sum(s.vel[:, 1])), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_flip_runs_stable_and_counts_particles():
+    cfg = fa.FlipApicConfig(particles=4096, grid=64)
+    s = fa.init(cfg)
+    out = jax.jit(lambda st: fa.run(cfg, st, 40))(s)
+    pos = np.asarray(out.pos)
+    assert np.isfinite(pos).all()
+    assert (pos >= 0.01 - 1e-6).all() and (pos <= 0.99 + 1e-6).all()
+    assert int(jnp.sum(out.density)) == cfg.particles
+    # gravity pulls the blob down over time
+    assert pos[:, 1].mean() < float(s.pos[:, 1].mean())
+
+
+def test_flip_projection_reduces_divergence():
+    cfg = fa.FlipApicConfig(particles=8192, grid=64, jacobi=80)
+    s = fa.init(cfg)
+    out1 = jax.jit(lambda st: fa.step(cfg, st))(s)
+    # velocities after one step should carry much less divergence than the
+    # raw swirl+gravity field; proxy: no blow-up over repeated projection
+    out2 = jax.jit(lambda st: fa.run(cfg, st, 20))(out1)
+    v = np.asarray(out2.vel)
+    assert np.isfinite(v).all()
+    assert np.abs(v).max() < 50.0
+
+
+# -------------------------------- MPM --------------------------------------
+
+
+def test_mpm_mass_conservation_in_p2g():
+    cfg = mpm.MPMConfig(n=2048)
+    s = mpm.init(cfg)
+    out = jax.jit(lambda st: mpm.step(cfg, st))(s)
+    assert bool(jnp.isfinite(out.pos).all())
+    # particles stay inside the clamped box
+    pos = np.asarray(out.pos)
+    dx = cfg.dx
+    assert (pos[:, 0] >= 2 * dx - 1e-6).all()
+    assert (pos[:, 0] <= (cfg.gx - 3) * dx + 1e-6).all()
+
+
+def test_mpm_materials_diverge():
+    """Different plasticity models must produce different dynamics."""
+    outs = {}
+    for m in ("mud", "snow", "sand"):
+        cfg = mpm.MPMConfig(n=1024, material=m, seed=5)
+        s = mpm.init(cfg)
+        out = jax.jit(lambda st, c=cfg: mpm.run(c, st, 150))(s)
+        outs[m] = np.asarray(out.pos)
+        assert np.isfinite(outs[m]).all(), m
+    # dt=8e-5 and an identity-F start mean plastic effects accumulate slowly;
+    # require strict divergence, not a large one.
+    assert np.abs(outs["mud"] - outs["snow"]).max() > 0
+    assert np.abs(outs["snow"] - outs["sand"]).max() > 0
+
+
+def test_mpm_settles_under_gravity():
+    cfg = mpm.MPMConfig(n=1024, seed=3)
+    s = mpm.init(cfg)
+    out = jax.jit(lambda st: mpm.run(cfg, st, 400))(s)
+    pos = np.asarray(out.pos)
+    assert pos[:, 1].mean() < float(s.pos[:, 1].mean())
+    # Jp stays in its clamp range
+    Jp = np.asarray(out.Jp)
+    assert (Jp >= 0.05).all() and (Jp <= 20.0).all()
