@@ -1,0 +1,496 @@
+"""Command-line entry points — one subcommand per reference program.
+
+Replaces the reference's per-program getopt mains with a single CLI that
+keeps the headless benchmark contract first-class (SURVEY.md §5: the
+interactive ncurses/raylib loops don't exist on TPU hosts; --render gives
+terminal frames, --steps/--stride the bench semantics, and the FPS/MLUPS
+reports mirror js_cuda.cu:401-441 / tau_lbm.cu:291-294).
+
+    python -m fluidsims_tpu.cli gray-scott --nx 256 --steps 2000
+    python -m fluidsims_tpu.cli hypersonic2d --steps 100 --view schlieren
+    python -m fluidsims_tpu.cli lbm --headless --steps 1000
+    python -m fluidsims_tpu.cli th3cs --out vol.4spl --frames 60
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _common(p, steps_default=200):
+    p.add_argument("--steps", type=int, default=steps_default,
+                   help="number of physics steps")
+    p.add_argument("--stride", type=int, default=0,
+                   help="render every N steps (0 = only final frame)")
+    p.add_argument("--render", action="store_true",
+                   help="print terminal frames")
+    p.add_argument("--headless", action="store_true",
+                   help="benchmark mode (no rendering)")
+    p.add_argument("--dtype", default="float32")
+
+
+def _bench_report(name, steps, wall, cells=None):
+    fps = steps / wall if wall > 0 else 0.0
+    line = f"{name}: {steps} steps in {wall:.3f}s -> {fps:.1f} steps/s"
+    if cells:
+        mlups = cells * steps / wall / 1e6
+        line += f", {mlups:.1f} MLUPS"
+    print(line)
+
+
+def _run_headless(run_jit, state, steps, name, cells=None, chunk=50):
+    import jax
+    import numpy as np
+
+    reps, rem = divmod(steps, chunk)
+    warm = run_jit(state, chunk)
+    jax.block_until_ready(warm)
+    _ = np.asarray(jax.tree_util.tree_leaves(warm)[0]).ravel()[:1]
+
+    t0 = time.perf_counter()
+    out = state
+    for _i in range(reps):
+        out = run_jit(out, chunk)
+    if rem:
+        out = run_jit(out, rem)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    wall = time.perf_counter() - t0
+    _bench_report(name, reps * chunk + rem, wall, cells)
+    return out
+
+
+def _maybe_render(args, text):
+    if args.render and not args.headless:
+        print(text)
+
+
+def cmd_gray_scott(args):
+    import jax
+    import numpy as np
+
+    from .render.terminal import render_halfblocks, render_ramp
+    from .solvers import gray_scott as gs
+
+    cfg = gs.GrayScottConfig(
+        nx=args.nx, ny=args.ny, dx=args.dx, dt=args.dt, Du=args.Du,
+        Dv=args.Dv, feed=args.F, kill=args.k, seed=args.seed,
+        dtype=args.dtype,
+    )
+    s = gs.init(cfg)
+    run = jax.jit(lambda st, n: gs.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "gray-scott",
+                        cells=cfg.nx * cfg.ny)
+    v = np.asarray(out.v)
+    if args.halfblocks:
+        _maybe_render(args, render_halfblocks(v))
+    else:
+        _maybe_render(args, render_ramp(v))
+
+
+def cmd_burgers(args):
+    import jax
+
+    from .solvers import burgers as bg
+
+    cfg = bg.BurgersConfig(
+        nx=args.nx, ny=args.ny, nu=args.nu, u0=args.u0, cfl=args.CFL,
+        dtau=args.dtau, muscl=args.muscl, visc_substeps=args.visc_substeps,
+        colehopf=args.colehopf, ck=args.ck, ca=args.ca, dtype=args.dtype,
+    )
+    s = bg.init(cfg)
+    run = jax.jit(lambda st, n: bg.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "burgers", cells=cfg.nx * cfg.ny)
+    if cfg.colehopf:
+        print(f"cole-hopf rel L2 error: {bg.cole_hopf_rel_l2(cfg, out):.3e}")
+    if args.render:
+        import numpy as np
+
+        from .render.terminal import render_ramp
+
+        u, v = bg.velocities(cfg, out)
+        speed = np.hypot(np.asarray(u), np.asarray(v))
+        _maybe_render(args, render_ramp(speed, dither=True))
+
+
+def cmd_shallow_water(args):
+    import jax
+    import numpy as np
+
+    from .render.terminal import autocontrast, render_ramp
+    from .solvers import shallow_water as sw
+
+    cfg = sw.ShallowWaterConfig(
+        nx=args.nx, ny=args.ny, dx=args.dx, dy=args.dy, g=args.g, f0=args.f0,
+        nu=args.nu, H0=args.H0, dtau=args.dtau, dtype=args.dtype,
+    )
+    s = sw.init(cfg)
+    run = jax.jit(lambda st, n: sw.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "shallow-water",
+                        cells=cfg.nx * cfg.ny)
+    sigma = np.asarray(out.sigma)
+    _maybe_render(args, render_ramp(autocontrast(sigma), normalize=False))
+
+
+def cmd_lbm(args):
+    import jax
+    import numpy as np
+
+    from .render.terminal import render_ramp
+    from .solvers import lbm
+
+    cfg = lbm.LBMConfig(
+        nx=args.nx, ny=args.ny, tau=args.tau, drive=args.drive,
+        obstacle=not args.no_obstacle, obstacle_radius=args.radius,
+        dtype=args.dtype,
+    )
+    s = lbm.init(cfg)
+    run = jax.jit(lambda st, n: lbm.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "lbm", cells=cfg.nx * cfg.ny)
+    sp = np.asarray(lbm.speed_field(cfg, out))
+    _maybe_render(args, render_ramp(np.maximum(sp, 0.0)))
+
+
+def cmd_hypersonic2d(args):
+    import jax
+    import numpy as np
+
+    from .render.terminal import render_ramp
+    from .render.views import VIEW_MODES, normalize_masked, render_value
+    from .solvers import hypersonic2d as h2
+
+    cfg = h2.default_config(
+        nx=args.nx, ny=args.ny, gamma=args.gamma, cfl=args.cfl,
+        visc_nu=args.visc_nu, visc_rho=args.visc_rho, visc_e=args.visc_e,
+        inflow_mach=args.mach, dtype=args.dtype,
+    )
+    s = h2.init(cfg)
+    run = jax.jit(lambda st, n: h2.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "hypersonic2d",
+                        cells=cfg.nx * cfg.ny)
+    print(f"t = {float(out.t):.6f}")
+    if args.render:
+        assert args.view in VIEW_MODES, f"--view must be one of {VIEW_MODES}"
+        v = render_value(cfg, out, args.view)
+        t = np.asarray(normalize_masked(v, out.mask))
+        _maybe_render(args, render_ramp(t, normalize=False))
+
+
+def cmd_hypersonic3d(args):
+    import jax
+    import numpy as np
+
+    from .render.terminal import render_ramp
+    from .solvers import hypersonic3d as h3
+
+    cfg = h3.default_config(args.n, dtype=args.dtype)
+    s = h3.init(cfg)
+    run = jax.jit(lambda st, n: h3.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "hypersonic3d",
+                        cells=cfg.nx * cfg.ny * cfg.nz)
+    print(f"t = {float(out.t):.6f} dtau = {float(out.dtau):.3e}")
+    if args.render:
+        vol = np.asarray(h3.vis_field(cfg, out, args.view))
+        _maybe_render(args, render_ramp(vol[cfg.nz // 2]))
+
+
+def cmd_th3cs(args):
+    from .solvers import hypersonic3d as h3
+    from .solvers.th3cs import export_4spl
+
+    cfg = h3.default_config(args.n)
+    export_4spl(args.out, cfg, frames=args.frames,
+                steps_per_frame=args.steps_per_frame, verbose=True)
+    print(f"wrote {args.out}")
+
+
+def cmd_mhd(args):
+    import jax
+    import numpy as np
+
+    from .render.colormap import mhd_cmap  # noqa: F401 (used via render)
+    from .render.terminal import render_ramp
+    from .solvers import mhd
+
+    cfg = mhd.MHDConfig(nx=args.nx, ny=args.ny, problem=args.case,
+                        stable_hll=args.stable_hll, dtype=args.dtype)
+    s = mhd.init(cfg)
+    run = jax.jit(lambda st, n: mhd.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "mhd", cells=cfg.nx * cfg.ny)
+    print(f"t = {float(out.t):.6f}")
+    v = np.asarray(mhd.view_field(cfg, out, args.view))
+    _maybe_render(args, render_ramp(v))
+
+
+def cmd_stam2d(args):
+    import jax
+    import numpy as np
+
+    from .render.terminal import render_ramp
+    from .solvers import stam2d
+
+    cfg = stam2d.Stam2DConfig(n=args.n, dtype=args.dtype)
+    s = stam2d.init(cfg)
+    run = jax.jit(lambda st, n: stam2d.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "stam2d", cells=cfg.n * cfg.n)
+    _maybe_render(args, render_ramp(np.clip(np.asarray(out.d), 0, 1),
+                                    normalize=False))
+
+
+def cmd_stam3d(args):
+    import jax
+    import numpy as np
+
+    from .solvers import stam3d
+
+    cfg = stam3d.Stam3DConfig(n=args.n, dtype=args.dtype)
+    s = stam3d.init(cfg)
+    run = jax.jit(lambda st, n: stam3d.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "stam3d",
+                        cells=cfg.n**3)
+    if args.render:
+        img = np.asarray(stam3d.iso_render(cfg, out, W=args.cols,
+                                           H=args.rows))
+        from .render.terminal import RAMP_BLOCKS
+
+        t = img / max(img.max(), 1)
+        idx = np.clip((t * 4 + 0.5).astype(int), 0, 4)
+        print("\n".join("".join(RAMP_BLOCKS[k] for k in row) for row in idx))
+
+
+def cmd_sph(args):
+    import jax
+    import numpy as np
+
+    from .solvers import sph
+
+    cfg = sph.SPHConfig(n=args.n, dtau=args.dTau, cfl=args.CFL,
+                        visc_alpha=args.visc, visc_substeps=args.visc_substeps,
+                        rain=not args.no_rain, dtype=args.dtype)
+    s = sph.init(cfg)
+    run = jax.jit(lambda st, n: sph.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "sph")
+    print(f"t = {float(out.t):.4f} tau = {float(out.tau):.4f}  "
+          f"({cfg.n * args.steps / 1e6:.2f}M particle-steps)")
+    if args.render:
+        grid = np.asarray(sph.rasterize_counts(cfg, out.pos, W=args.cols,
+                                               H=args.rows))
+        top = grid[0::2][:args.rows]
+        bot = grid[1::2][:args.rows]
+        chars = np.where((top > 0) & (bot > 0), "█",
+                         np.where(top > 0, "▀",
+                                  np.where(bot > 0, "▄", " ")))
+        print("\n".join("".join(r) for r in chars))
+
+
+def cmd_flip(args):
+    import jax
+    import numpy as np
+
+    from .render.terminal import render_ramp
+    from .solvers import flip_apic as fa
+
+    cfg = fa.FlipApicConfig(particles=args.particles, grid=args.grid,
+                            jacobi=args.jacobi, dt=args.dt,
+                            gravity=args.gravity, flip=args.flip,
+                            apic=args.apic, dtype=args.dtype)
+    s = fa.init(cfg)
+    run = jax.jit(lambda st, n: fa.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "flip-apic")
+    dens = np.asarray(out.density)
+    occupied = int((dens > 0).sum())
+    print(f"occupied={occupied} peak_cell={int(dens.max())}")
+    _maybe_render(args, render_ramp(dens[::-1].astype(float)))
+
+
+def cmd_mpm(args):
+    import jax
+    import numpy as np
+
+    from .solvers import mpm
+
+    cfg = mpm.MPMConfig(n=args.n, gx=args.gx, gy=args.gy, dt=args.dt,
+                        material=args.material, dtype=args.dtype)
+    s = mpm.init(cfg)
+    run = jax.jit(lambda st, n: mpm.run(cfg, st, n), static_argnums=1)
+    out = _run_headless(run, s, args.steps, "mpm")
+    if args.render:
+        pos = np.asarray(out.pos)
+        Wd, Hd = args.cols, args.rows
+        cx = np.clip((pos[:, 0] / cfg.box_x * (Wd - 1)).astype(int), 0, Wd - 1)
+        sy = np.clip(((cfg.box_y - pos[:, 1]) / cfg.box_y
+                      * (2 * Hd - 1)).astype(int), 0, 2 * Hd - 1)
+        grid = np.zeros((2 * Hd, Wd), int)
+        np.add.at(grid, (sy, cx), 1)
+        top, bot = grid[0::2], grid[1::2]
+        chars = np.where((top > 0) & (bot > 0), "█",
+                         np.where(top > 0, "▀",
+                                  np.where(bot > 0, "▄", " ")))
+        print("\n".join("".join(r) for r in chars))
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="fluidsims_tpu",
+                                 description=__doc__.split("\n")[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("gray-scott", help="reaction-diffusion (tau_gray_scott)")
+    p.add_argument("--nx", type=int, default=128)
+    p.add_argument("--ny", type=int, default=128)
+    p.add_argument("--dx", type=float, default=1.0)
+    p.add_argument("--dt", type=float, default=1.0)
+    p.add_argument("--Du", type=float, default=0.2)
+    p.add_argument("--Dv", type=float, default=0.1)
+    p.add_argument("--F", type=float, default=0.03)
+    p.add_argument("--k", type=float, default=0.06)
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--halfblocks", action="store_true")
+    _common(p, 2000)
+    p.set_defaults(fn=cmd_gray_scott)
+
+    p = sub.add_parser("burgers", help="2-D viscous Burgers (tau_burgers)")
+    p.add_argument("--nx", type=int, default=512)
+    p.add_argument("--ny", type=int, default=512)
+    p.add_argument("--nu", type=float, default=0.1)
+    p.add_argument("--u0", type=float, default=1.0)
+    p.add_argument("--CFL", type=float, default=0.45)
+    p.add_argument("--dtau", type=float, default=1.0)
+    p.add_argument("--muscl", action="store_true")
+    p.add_argument("--visc_substeps", type=int, default=1)
+    p.add_argument("--colehopf", action="store_true")
+    p.add_argument("--ck", type=int, default=4)
+    p.add_argument("--ca", type=float, default=0.5)
+    _common(p, 2000)
+    p.set_defaults(fn=cmd_burgers)
+
+    p = sub.add_parser("shallow-water", help="shallow water (tau_shallow_water)")
+    p.add_argument("--nx", type=int, default=512)
+    p.add_argument("--ny", type=int, default=512)
+    p.add_argument("--dx", type=float, default=1.0)
+    p.add_argument("--dy", type=float, default=1.0)
+    p.add_argument("--g", type=float, default=9.81)
+    p.add_argument("--f0", type=float, default=1.0)
+    p.add_argument("--nu", type=float, default=0.001)
+    p.add_argument("--H0", type=float, default=1000.0)
+    p.add_argument("--dtau", type=float, default=1.0)
+    _common(p, 2000)
+    p.set_defaults(fn=cmd_shallow_water)
+
+    p = sub.add_parser("lbm", help="D2Q9 lattice Boltzmann (tau_lbm)")
+    p.add_argument("--nx", type=int, default=512)
+    p.add_argument("--ny", type=int, default=256)
+    p.add_argument("--tau", type=float, default=0.56)
+    p.add_argument("--drive", type=float, default=1e-6)
+    p.add_argument("--radius", type=float, default=32.0)
+    p.add_argument("--no-obstacle", action="store_true")
+    _common(p, 1000)
+    p.set_defaults(fn=cmd_lbm)
+
+    p = sub.add_parser("hypersonic2d",
+                       help="2-D hypersonic flow (tau_hypersonic_cuda)")
+    p.add_argument("--nx", type=int, default=2048)
+    p.add_argument("--ny", type=int, default=1024)
+    p.add_argument("--gamma", type=float, default=1.1)
+    p.add_argument("--cfl", type=float, default=0.25)
+    p.add_argument("--visc-nu", type=float, default=5e-2)
+    p.add_argument("--visc-rho", type=float, default=5e-2)
+    p.add_argument("--visc-e", type=float, default=2e-2)
+    p.add_argument("--mach", type=float, default=25.0)
+    p.add_argument("--view", default="schlieren")
+    _common(p, 100)
+    p.set_defaults(fn=cmd_hypersonic2d)
+
+    p = sub.add_parser("hypersonic3d",
+                       help="3-D hypersonic flow (tau_hypersonic_3d_cuda)")
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--view", default="schlieren")
+    _common(p, 100)
+    p.set_defaults(fn=cmd_hypersonic3d)
+
+    p = sub.add_parser("th3cs", help=".4spl volume-video export (th3cs)")
+    p.add_argument("--n", type=int, default=64)
+    p.add_argument("--out", default="tau_hypersonic.4spl")
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--steps-per-frame", type=int, default=4)
+    p.set_defaults(fn=cmd_th3cs)
+
+    p = sub.add_parser("mhd", help="ideal MHD + GLM cleaning (tau_mhd)")
+    p.add_argument("--nx", type=int, default=320)
+    p.add_argument("--ny", type=int, default=220)
+    p.add_argument("--case", default="briowu",
+                   choices=["briowu", "orszag-tang"])
+    p.add_argument("--view", type=int, default=0)
+    p.add_argument("--stable-hll", action="store_true")
+    _common(p, 200)
+    p.set_defaults(fn=cmd_mhd)
+
+    p = sub.add_parser("stam2d", help="stable fluids log-eta grid (js_cuda)")
+    p.add_argument("--n", type=int, default=512)
+    _common(p, 100)
+    p.set_defaults(fn=cmd_stam2d)
+
+    p = sub.add_parser("stam3d", help="3-D stable fluids (js_cuda3d)")
+    p.add_argument("--n", type=int, default=192)
+    p.add_argument("--cols", type=int, default=100)
+    p.add_argument("--rows", type=int, default=40)
+    _common(p, 20)
+    p.set_defaults(fn=cmd_stam3d)
+
+    p = sub.add_parser("sph", help="weakly-compressible SPH (tau_sph)")
+    p.add_argument("--n", type=int, default=1 << 16)
+    p.add_argument("--dTau", type=float, default=1.0)
+    p.add_argument("--CFL", type=float, default=1.0)
+    p.add_argument("--visc", type=float, default=0.25)
+    p.add_argument("--visc_substeps", type=int, default=1)
+    p.add_argument("--no-rain", action="store_true")
+    p.add_argument("--cols", type=int, default=100)
+    p.add_argument("--rows", type=int, default=40)
+    _common(p, 100)
+    p.set_defaults(fn=cmd_sph)
+
+    p = sub.add_parser("flip", help="FLIP/APIC hybrid fluid (tau_flip_apic)")
+    p.add_argument("--particles", type=int, default=1 << 16)
+    p.add_argument("--grid", type=int, default=128)
+    p.add_argument("--jacobi", type=int, default=48)
+    p.add_argument("--dt", type=float, default=0.004)
+    p.add_argument("--gravity", type=float, default=7.5)
+    p.add_argument("--flip", type=float, default=0.97)
+    p.add_argument("--apic", type=float, default=0.85)
+    _common(p, 200)
+    p.set_defaults(fn=cmd_flip)
+
+    p = sub.add_parser("mpm", help="MLS-MPM elastoplastic (tau_mpm)")
+    p.add_argument("--n", type=int, default=1 << 15)
+    p.add_argument("--gx", type=int, default=96)
+    p.add_argument("--gy", type=int, default=96)
+    p.add_argument("--dt", type=float, default=8e-5)
+    p.add_argument("--material", default="snow",
+                   choices=["mud", "snow", "sand"])
+    p.add_argument("--cols", type=int, default=100)
+    p.add_argument("--rows", type=int, default=40)
+    _common(p, 500)
+    p.set_defaults(fn=cmd_mpm)
+
+    return ap
+
+
+def main(argv=None):
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_fst_cache")
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_fst_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,97 @@
+"""`.4spl` format tests: roundtrip, byte layout per viewer.html, native/
+Python writer equivalence, and the th3cs export pipeline."""
+
+import struct
+
+import numpy as np
+
+from fluidsims_tpu.io import fourspl
+from fluidsims_tpu.io.fourspl_native import native_available, write_4spl_native
+
+
+def tiny_video(frames=3, d=4, h=5, w=6, seed=0):
+    rng = np.random.default_rng(seed)
+    return fourspl.Splat4DVideo(
+        width=w, height=h, depth=d, frames=frames,
+        palette=fourspl.heat_palette(256),
+        indices=rng.integers(0, 256, (frames, d, h, w), dtype=np.uint8),
+    )
+
+
+def test_roundtrip(tmp_path):
+    v = tiny_video()
+    p = tmp_path / "a.4spl"
+    fourspl.write_4spl(p, v)
+    r = fourspl.read_4spl(p)
+    assert (r.width, r.height, r.depth, r.frames) == (6, 5, 4, 3)
+    np.testing.assert_array_equal(r.indices, v.indices)
+    np.testing.assert_allclose(r.palette, v.palette)
+
+
+def test_byte_layout_matches_viewer(tmp_path):
+    """Parse the file exactly like viewer.html:67-96 does."""
+    v = tiny_video()
+    p = tmp_path / "b.4spl"
+    fourspl.write_4spl(p, v)
+    data = p.read_bytes()
+
+    width = struct.unpack_from("<I", data, 8)[0]
+    height = struct.unpack_from("<I", data, 12)[0]
+    depth = struct.unpack_from("<I", data, 16)[0]
+    frames = struct.unpack_from("<I", data, 20)[0]
+    p_size = struct.unpack_from("<I", data, 24)[0]
+    assert (width, height, depth, frames, p_size) == (6, 5, 4, 3, 256)
+
+    # palette rgb at entry offsets +32..+40 (viewer.html:80-86)
+    p_off = 32
+    r0 = struct.unpack_from("<f", data, p_off + 32)[0]
+    assert r0 == v.palette[0, 8]
+    r_last = struct.unpack_from("<f", data, p_off + 255 * 48 + 32)[0]
+    np.testing.assert_allclose(r_last, 1.0)
+
+    # indices start right after the palette, 1 byte/voxel
+    idx_off = 32 + p_size * 48
+    voxels = width * height * depth * frames
+    got = np.frombuffer(data, np.uint8, voxels, idx_off)
+    np.testing.assert_array_equal(got, v.indices.ravel())
+
+    # footer: u32 checksum, u64 idxoffset, u32 end
+    foot = data[idx_off + voxels:]
+    assert len(foot) == 16
+    _, idxoffset, end = struct.unpack("<IQI", foot)
+    assert idxoffset == idx_off
+    assert end == fourspl.END_SENTINEL
+
+
+def test_native_writer_bitwise_matches_python(tmp_path):
+    if not native_available():
+        import pytest
+
+        pytest.skip("no C compiler for native writer")
+    v = tiny_video(seed=3)
+    p1 = tmp_path / "py.4spl"
+    p2 = tmp_path / "nat.4spl"
+    fourspl.write_4spl(p1, v)
+    write_4spl_native(p2, v)
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_quantize_frame_gamma():
+    f = np.linspace(0.0, 1.0, 256).reshape(16, 16)
+    q = fourspl.quantize_frame(f, gamma=0.65)
+    assert q.dtype == np.uint8
+    assert q.min() == 0 and q.max() == 255
+    # gamma < 1 brightens: midpoint maps above 127
+    assert q[8, 0] > 127
+
+
+def test_th3cs_export_small(tmp_path):
+    from fluidsims_tpu.solvers import hypersonic3d as h3
+    from fluidsims_tpu.solvers.th3cs import export_4spl
+
+    cfg = h3.default_config(12)
+    p = tmp_path / "vol.4spl"
+    video = export_4spl(p, cfg, frames=2, steps_per_frame=1)
+    r = fourspl.read_4spl(p)
+    assert r.frames == 2 and r.width == 12
+    np.testing.assert_array_equal(r.indices, video.indices)
