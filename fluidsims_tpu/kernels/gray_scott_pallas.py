@@ -1,0 +1,99 @@
+"""Fused Pallas TPU kernel for the Gray–Scott update.
+
+One grid step = one row band fully updated in VMEM: reads u,v once (+1-row
+halos via adjacent blocks), computes the 5-point periodic Laplacian +
+reaction (tau_gray_scott.cu:141-171), writes u,v once — minimal HBM
+traffic vs. the roll-based XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..solvers import gray_scott as gs
+
+__all__ = ["make_step_pallas", "run_pallas"]
+
+
+def _kernel(cfg, uA, uB, uC, vA, vB, vC, u_out, v_out):
+    inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
+
+    def window(a, b, c):
+        # rows: 1-halo from the adjacent bands; cols: periodic wrap built
+        # into the padded layout (first/last col duplicated on host)
+        return jnp.concatenate([a[-1:, :], b[:, :], c[:1, :]], axis=0)
+
+    u = window(uA[:], uB[:], uC[:])   # (band+2, W+2)
+    v = window(vA[:], vB[:], vC[:])
+
+    def lap(f):
+        c = f[1:-1, 1:-1]
+        return (f[1:-1, :-2] + f[1:-1, 2:] + f[:-2, 1:-1] + f[2:, 1:-1]
+                - 4.0 * c) * inv_dx2
+
+    uc = u[1:-1, 1:-1]
+    vc = v[1:-1, 1:-1]
+    uvv = uc * vc * vc
+    du = cfg.Du * lap(u) - uvv + cfg.feed * (1.0 - uc)
+    dv = cfg.Dv * lap(v) + uvv - (cfg.feed + cfg.kill) * vc
+    u_out[:] = uc + cfg.dt * du
+    v_out[:] = vc + cfg.dt * dv
+
+
+def make_step_pallas(cfg: gs.GrayScottConfig, band: int = 256,
+                     interpret: bool = False):
+    H, W = cfg.ny, cfg.nx
+    if H % band:
+        raise ValueError(f"ny={H} must be divisible by band={band}")
+    n_bands = H // band
+    Wp = W + 2
+
+    in_specs = []
+    for _f in range(2):
+        for off in range(3):
+            in_specs.append(
+                pl.BlockSpec((band, Wp),
+                             functools.partial(lambda i, o: (i + o, 0),
+                                               o=off),
+                             memory_space=pltpu.VMEM)
+            )
+    out_specs = [
+        pl.BlockSpec((band, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for _ in range(2)
+    ]
+
+    call = pl.pallas_call(
+        functools.partial(_kernel, cfg),
+        grid=(n_bands,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((H, W), cfg.jax_dtype)
+                   for _ in range(2)],
+        interpret=interpret,
+    )
+
+    def pad_periodic(f):
+        # x wrap columns + y wrap extended to whole bands
+        f = jnp.concatenate([f[:, -1:], f, f[:, :1]], axis=1)
+        top = f[-band:, :]
+        bot = f[:band, :]
+        return jnp.concatenate([top, f, bot], axis=0)
+
+    def step(s: gs.GrayScottState) -> gs.GrayScottState:
+        up = pad_periodic(s.u)
+        vp = pad_periodic(s.v)
+        u2, v2 = call(up, up, up, vp, vp, vp)
+        return gs.GrayScottState(u=u2, v=v2)
+
+    return step
+
+
+def run_pallas(cfg, s, n_steps, band: int = 256, interpret: bool = False):
+    from ..core.stepper import scan_steps
+
+    return scan_steps(make_step_pallas(cfg, band, interpret), s, n_steps)

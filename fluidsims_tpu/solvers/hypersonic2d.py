@@ -212,6 +212,179 @@ def _bcast(c: Cons, shape) -> Cons:
 
 
 # ---------------------------------------------------------------------------
+# Padded-core formulation
+#
+# The step is expressed as: (1) resolve all x/y boundary conditions into a
+# halo-2 padded copy of the state (pad_bc), then (2) a purely local core
+# (step_core_padded) in which every neighbor access is a static slice and
+# the only remaining BC logic is the wall-ghost mask select.  The ghost
+# columns are constant along x (inflow / outflow copy), so MUSCL
+# reconstruction inside them degenerates to exactly the reference's
+# boundary states (proof mirrors parallel/hypersonic2d_sharded.py, which
+# uses the same trick across chips).  The core doubles as the Pallas
+# kernel body (kernels/hypersonic2d_pallas.py).
+# ---------------------------------------------------------------------------
+
+PAD = 2  # stencil reach: MUSCL(1) chained through faces + diffusion(2)
+
+
+def pad_bc(cfg, U: Cons, mask):
+    """Halo-2 padded state with BCs resolved: y edge-clamp, x<0 inflow,
+    x>=nx outflow copy of the last column; padded mask is edge-clamped in y
+    and False in the x pads (the reference never mask-checks x ghosts,
+    tau_hypersonic_cuda.cu:277-283)."""
+    infl = e2.prim_to_cons(_inflow(cfg), cfg.gamma)
+
+    def padf(f, left_val):
+        f = jnp.pad(f, ((PAD, PAD), (0, 0)), mode="edge")
+        f = jnp.pad(f, ((0, 0), (0, PAD)), mode="edge")
+        left = jnp.full((f.shape[0], PAD), left_val, f.dtype)
+        return jnp.concatenate([left, f], axis=1)
+
+    Up = Cons(*(padf(f, v) for f, v in zip(U, infl)))
+    mp = jnp.pad(mask, ((PAD, PAD), (0, 0)), mode="edge")
+    mp = jnp.pad(mp, ((0, 0), (PAD, PAD)), mode="constant",
+                 constant_values=False)
+    return Up, mp
+
+
+def _win(f, y0, x0, h, w):
+    return f[y0:y0 + h, x0:x0 + w]
+
+
+def _cwin(c: Cons, y0, x0, h, w) -> Cons:
+    return Cons(*(_win(f, y0, x0, h, w) for f in c))
+
+
+def step_core_padded(cfg, Up: Cons, Mp, dt) -> Cons:
+    """The local physics update on a halo-2 padded block: MUSCL predict ->
+    HLLC face fluxes -> conservative update + diffusion -> positivity fix.
+    Returns the new interior state (shape = padded minus 2*PAD each dim).
+    Pure slicing + elementwise ops: safe inside a Pallas kernel."""
+    hp, wp = Up.rho.shape
+    H = hp - 2 * PAD
+    W = wp - 2 * PAD
+    half_dt = 0.5 * dt
+
+    def predict_axis(axis):
+        # predicted (low, high) face states for the extended cell range:
+        # x axis: cells [-1, W] x rows [0, H); y axis: cols [0, W) x rows
+        # [-1, H]
+        if axis == 0:
+            h, w = H, W + 2
+            y0, x0 = PAD, PAD - 1
+            dy, dx = 0, 1
+        else:
+            h, w = H + 2, W
+            y0, x0 = PAD - 1, PAD
+            dy, dx = 1, 0
+
+        qc = e2.cons_to_prim(_cwin(Up, y0, x0, h, w), cfg.gamma)
+
+        def nbr(sgn):
+            Un = _cwin(Up, y0 + sgn * dy, x0 + sgn * dx, h, w)
+            mn = _win(Mp, y0 + sgn * dy, x0 + sgn * dx, h, w)
+            ghost = e2.prim_to_cons(e2.wall_ghost(qc), cfg.gamma)
+            return e2.c_where(mn, ghost, Un)
+
+        qm = e2.cons_to_prim(nbr(-1), cfg.gamma)
+        qp = e2.cons_to_prim(nbr(+1), cfg.gamma)
+        qL, qR = e2.reconstruct_faces(qm, qc, qp)
+
+        FL = e2.flux(e2.prim_to_cons(qL, cfg.gamma), cfg.gamma, axis)
+        FR = e2.flux(e2.prim_to_cons(qR, cfg.gamma), cfg.gamma, axis)
+        dF = e2.c_sub(FR, FL)
+        pL = e2.clamp_prim(e2.half_step_predict(qL, dF, half_dt, cfg.gamma))
+        pR = e2.clamp_prim(e2.half_step_predict(qR, dF, half_dt, cfg.gamma))
+        return (e2.prim_to_cons(pL, cfg.gamma),
+                e2.prim_to_cons(pR, cfg.gamma))
+
+    # ---- x faces: (H, W+1) ----
+    xL, xR = predict_axis(0)
+    fluidL = ~_win(Mp, PAD, PAD - 1, H, W + 1)   # cells -1..W-1
+    fluidR = ~_win(Mp, PAD, PAD, H, W + 1)       # cells 0..W
+    cellL = _cwin(Up, PAD, PAD - 1, H, W + 1)
+    cellR = _cwin(Up, PAD, PAD, H, W + 1)
+    ghostL = e2.prim_to_cons(
+        e2.wall_ghost(e2.cons_to_prim(cellR, cfg.gamma)), cfg.gamma)
+    ghostR = e2.prim_to_cons(
+        e2.wall_ghost(e2.cons_to_prim(cellL, cfg.gamma)), cfg.gamma)
+    UL = e2.c_where(fluidL, Cons(*(f[:, :-1] for f in xR)), ghostL)
+    UR = e2.c_where(fluidR, Cons(*(f[:, 1:] for f in xL)), ghostR)
+    Fx = hllc(UL, UR, cfg.gamma, axis=0)
+    zero = Cons(*(jnp.zeros_like(Fx.rho) for _ in range(4)))
+    Fx = e2.c_where(fluidL | fluidR, Fx, zero)
+
+    # ---- y faces: (H+1, W) ----
+    yL, yR = predict_axis(1)
+    fluidB = ~_win(Mp, PAD - 1, PAD, H + 1, W)
+    fluidT = ~_win(Mp, PAD, PAD, H + 1, W)
+    cellB = _cwin(Up, PAD - 1, PAD, H + 1, W)
+    cellT = _cwin(Up, PAD, PAD, H + 1, W)
+    ghostB = e2.prim_to_cons(
+        e2.wall_ghost(e2.cons_to_prim(cellT, cfg.gamma)), cfg.gamma)
+    ghostT = e2.prim_to_cons(
+        e2.wall_ghost(e2.cons_to_prim(cellB, cfg.gamma)), cfg.gamma)
+    UB = e2.c_where(fluidB, Cons(*(f[:-1, :] for f in yR)), ghostB)
+    UT = e2.c_where(fluidT, Cons(*(f[1:, :] for f in yL)), ghostT)
+    Gy = hllc(UB, UT, cfg.gamma, axis=1)
+    zero = Cons(*(jnp.zeros_like(Gy.rho) for _ in range(4)))
+    Gy = e2.c_where(fluidB | fluidT, Gy, zero)
+
+    # ---- conservative update ----
+    Uc = _cwin(Up, PAD, PAD, H, W)
+    maskc = _win(Mp, PAD, PAD, H, W)
+    center = e2.cons_to_prim(Uc, cfg.gamma)
+
+    Un = Cons(*(
+        u - dt * (f[:, 1:] - f[:, :-1]) - dt * (g[1:, :] - g[:-1, :])
+        for u, f, g in zip(Uc, Fx, Gy)
+    ))
+
+    # ---- diffusion (4th-order 5-tap, halo 2) ----
+    inv12 = 1.0 / 12.0
+    ghost_c = e2.prim_to_cons(e2.wall_ghost(center), cfg.gamma)
+
+    def dnbr(dy, dx):
+        Unb = _cwin(Up, PAD + dy, PAD + dx, H, W)
+        mnb = _win(Mp, PAD + dy, PAD + dx, H, W)
+        return e2.c_where(mnb, ghost_c, Unb)
+
+    def d2(axis):
+        dy, dx = (0, 1) if axis == 0 else (1, 0)
+        m2 = dnbr(-2 * dy, -2 * dx)
+        m1 = dnbr(-dy, -dx)
+        p1 = dnbr(dy, dx)
+        p2 = dnbr(2 * dy, 2 * dx)
+        return Cons(*(
+            (-a + 16.0 * b - 30.0 * c + 16.0 * d - e) * inv12
+            for a, b, c, d, e in zip(m2, m1, Uc, p1, p2)
+        ))
+
+    lap = e2.c_add(d2(0), d2(1))
+    Un = Cons(
+        rho=Un.rho + (cfg.visc_rho * dt) * lap.rho,
+        mx=Un.mx + (cfg.visc_nu * dt) * lap.mx,
+        my=Un.my + (cfg.visc_nu * dt) * lap.my,
+        E=Un.E + (cfg.visc_e * dt) * lap.E,
+    )
+
+    # ---- positivity / finiteness repair ----
+    Un = Un._replace(rho=jnp.maximum(Un.rho, e2.EPS_RHO))
+    pp = e2.cons_to_prim(Un, cfg.gamma)
+    bad = (
+        (pp.p <= e2.EPS_P)
+        | ~jnp.isfinite(pp.p) | ~jnp.isfinite(pp.rho)
+        | ~jnp.isfinite(pp.u) | ~jnp.isfinite(pp.v)
+    )
+    fixed = e2.prim_to_cons(e2.clamp_prim(pp), cfg.gamma)
+    Un = e2.c_where(bad, fixed, Un)
+
+    # solid cells keep their state
+    return e2.c_where(maskc, Uc, Un)
+
+
+# ---------------------------------------------------------------------------
 # Step pipeline
 # ---------------------------------------------------------------------------
 
@@ -231,130 +404,6 @@ def compute_dt(cfg, U: Cons, mask):
     return cfl_dt(max_wavespeed(cfg, U, mask), cfg.cfl, dx=1.0, nu_max=cfg.nu_max)
 
 
-def _predict_faces(cfg, U: Cons, mask, center: Prim, half_dt, axis: int):
-    """MUSCL reconstruction + Hancock half-step along one axis
-    (tau_hypersonic_cuda.cu:920-962). Returns (low_face, high_face) cons."""
-    dy, dx = (0, 1) if axis == 0 else (1, 0)
-    qm = e2.cons_to_prim(_neighbor(cfg, U, mask, center, -dy, -dx), cfg.gamma)
-    qp = e2.cons_to_prim(_neighbor(cfg, U, mask, center, dy, dx), cfg.gamma)
-    qL, qR = e2.reconstruct_faces(qm, center, qp)
-
-    FL = e2.flux(e2.prim_to_cons(qL, cfg.gamma), cfg.gamma, axis)
-    FR = e2.flux(e2.prim_to_cons(qR, cfg.gamma), cfg.gamma, axis)
-    dF = e2.c_sub(FR, FL)
-
-    pL = e2.clamp_prim(e2.half_step_predict(qL, dF, half_dt, cfg.gamma))
-    pR = e2.clamp_prim(e2.half_step_predict(qR, dF, half_dt, cfg.gamma))
-    return e2.prim_to_cons(pL, cfg.gamma), e2.prim_to_cons(pR, cfg.gamma)
-
-
-def _face_flux_x(cfg, U: Cons, mask, xL: Cons, xR: Cons) -> Cons:
-    """HLLC flux on every x-face, shape (ny, nx+1)
-    (tau_hypersonic_cuda.cu:964-996). Face fx sits between cells fx-1, fx."""
-    ny, nx = mask.shape
-    fluid = ~mask
-
-    def pad_l(f):  # value from the left cell (fx-1); col 0 padded
-        return jnp.concatenate([f[:, :1], f], axis=1)
-
-    def pad_r(f):  # value from the right cell (fx); col nx padded
-        return jnp.concatenate([f, f[:, -1:]], axis=1)
-
-    hasL = jnp.concatenate([jnp.zeros((ny, 1), bool), fluid], axis=1)
-    hasR = jnp.concatenate([fluid, jnp.zeros((ny, 1), bool)], axis=1)
-
-    # Left input state: predicted high-face state of cell fx-1 when fluid;
-    # else inflow (fx==0) or wall ghost of the right cell.
-    UL_pred = Cons(*(pad_l(f) for f in xR))
-    right_prim = e2.cons_to_prim(Cons(*(pad_r(f) for f in U)), cfg.gamma)
-    ghost_right = e2.prim_to_cons(e2.wall_ghost(right_prim), cfg.gamma)
-    infl = e2.prim_to_cons(_inflow(cfg), cfg.gamma)
-    first_col = jnp.asarray(np.arange(nx + 1) == 0)[None, :]
-    UL_bc = e2.c_where(first_col, _bcast(infl, (ny, nx + 1)), ghost_right)
-    UL = e2.c_where(hasL, UL_pred, UL_bc)
-
-    # Right input state: predicted low-face state of cell fx when fluid; else
-    # outflow copy (fx==nx -> cell nx-1) or wall ghost of the left cell.
-    UR_pred = Cons(*(pad_r(f) for f in xL))
-    left_prim = e2.cons_to_prim(Cons(*(pad_l(f) for f in U)), cfg.gamma)
-    ghost_left = e2.prim_to_cons(e2.wall_ghost(left_prim), cfg.gamma)
-    last_col = jnp.asarray(np.arange(nx + 1) == nx)[None, :]
-    outflow = Cons(*(jnp.broadcast_to(f[:, -1:], (ny, nx + 1)) for f in U))
-    UR_bc = e2.c_where(last_col, outflow, ghost_left)
-    UR = e2.c_where(hasR, UR_pred, UR_bc)
-
-    F = hllc(UL, UR, cfg.gamma, axis=0)
-    zero = Cons(*(jnp.zeros_like(F.rho) for _ in range(4)))
-    return e2.c_where(hasL | hasR, F, zero)
-
-
-def _face_flux_y(cfg, U: Cons, mask, yL: Cons, yR: Cons) -> Cons:
-    """HLLC flux on every y-face, shape (ny+1, nx)
-    (tau_hypersonic_cuda.cu:998-1030). y boundaries are edge-clamped: the
-    ghost beyond row 0 / ny-1 is the row itself, so the Riemann problem at
-    the wall faces is (U, U) -> plain physical flux."""
-    ny, nx = mask.shape
-    fluid = ~mask
-
-    def pad_b(f):  # value from cell below (fy-1)
-        return jnp.concatenate([f[:1, :], f], axis=0)
-
-    def pad_t(f):  # value from cell above (fy)
-        return jnp.concatenate([f, f[-1:, :]], axis=0)
-
-    hasB = jnp.concatenate([jnp.zeros((1, nx), bool), fluid], axis=0)
-    hasT = jnp.concatenate([fluid, jnp.zeros((1, nx), bool)], axis=0)
-
-    UB_pred = Cons(*(pad_b(f) for f in yR))
-    top_prim = e2.cons_to_prim(Cons(*(pad_t(f) for f in U)), cfg.gamma)
-    ghost_top = e2.prim_to_cons(e2.wall_ghost(top_prim), cfg.gamma)
-    # fy==0 with hasT: neighbor_or_wall clamps y to 0 -> the top cell itself.
-    first_row = jnp.asarray(np.arange(ny + 1) == 0)[:, None]
-    top_cell = Cons(*(pad_t(f) for f in U))
-    UB_bc = e2.c_where(first_row, top_cell, ghost_top)
-    UB = e2.c_where(hasB, UB_pred, UB_bc)
-
-    UT_pred = Cons(*(pad_t(f) for f in yL))
-    bot_prim = e2.cons_to_prim(Cons(*(pad_b(f) for f in U)), cfg.gamma)
-    ghost_bot = e2.prim_to_cons(e2.wall_ghost(bot_prim), cfg.gamma)
-    last_row = jnp.asarray(np.arange(ny + 1) == ny)[:, None]
-    bot_cell = Cons(*(pad_b(f) for f in U))
-    UT_bc = e2.c_where(last_row, bot_cell, ghost_bot)
-    UT = e2.c_where(hasT, UT_pred, UT_bc)
-
-    F = hllc(UB, UT, cfg.gamma, axis=1)
-    zero = Cons(*(jnp.zeros_like(F.rho) for _ in range(4)))
-    return e2.c_where(hasB | hasT, F, zero)
-
-
-def _diffusion(cfg, U: Cons, mask, center: Prim, Un: Cons, dt) -> Cons:
-    """Explicit diffusion with the 5-tap 4th-order second derivative
-    (tau_hypersonic_cuda.cu:1117-1164), neighbors fetched with the same BC
-    semantics (neighbor_for_diff)."""
-    inv12 = 1.0 / 12.0
-
-    def d2(axis):
-        dy, dx = (0, 1) if axis == 0 else (1, 0)
-        m2 = _neighbor(cfg, U, mask, center, -2 * dy, -2 * dx)
-        m1 = _neighbor(cfg, U, mask, center, -dy, -dx)
-        p1 = _neighbor(cfg, U, mask, center, dy, dx)
-        p2 = _neighbor(cfg, U, mask, center, 2 * dy, 2 * dx)
-        return Cons(
-            *(
-                (-a + 16.0 * b - 30.0 * c + 16.0 * d - e) * inv12
-                for a, b, c, d, e in zip(m2, m1, U, p1, p2)
-            )
-        )
-
-    lap = e2.c_add(d2(0), d2(1))
-    return Cons(
-        rho=Un.rho + (cfg.visc_rho * dt) * lap.rho,
-        mx=Un.mx + (cfg.visc_nu * dt) * lap.mx,
-        my=Un.my + (cfg.visc_nu * dt) * lap.my,
-        E=Un.E + (cfg.visc_e * dt) * lap.E,
-    )
-
-
 def step(
     cfg: Hypersonic2DConfig,
     s: Hypersonic2DState,
@@ -362,7 +411,8 @@ def step(
     wavespeed_reduce=None,
 ) -> Hypersonic2DState:
     """One full physics step — the reference's 5-kernel sequence
-    (tau_hypersonic_cuda.cu:1833-1889) as one fused jit region.
+    (tau_hypersonic_cuda.cu:1833-1889) as one fused jit region:
+    inflow column -> on-device CFL dt -> pad_bc -> step_core_padded.
 
     `inflow_cols` / `wavespeed_reduce` are hooks for the sharded multi-chip
     path (fluidsims_tpu.parallel): a traced bool column mask selecting where
@@ -383,48 +433,9 @@ def step(
     if wavespeed_reduce is not None:
         maxs = wavespeed_reduce(maxs)
     dt = cfl_dt(maxs, cfg.cfl, dx=1.0, nu_max=cfg.nu_max)
-    half_dt = 0.5 * dt
 
-    center = e2.cons_to_prim(U, cfg.gamma)
-
-    # Predict face states both axes (k_predict_face_states).
-    xL, xR = _predict_faces(cfg, U, mask, center, half_dt, axis=0)
-    yL, yR = _predict_faces(cfg, U, mask, center, half_dt, axis=1)
-
-    # Face fluxes (k_compute_xface_flux / k_compute_yface_flux).
-    Fx = _face_flux_x(cfg, U, mask, xL, xR)
-    Gy = _face_flux_y(cfg, U, mask, yL, yR)
-
-    # Conservative update (k_step).
-    FxL = Cons(*(f[:, :-1] for f in Fx))
-    FxR = Cons(*(f[:, 1:] for f in Fx))
-    GyB = Cons(*(f[:-1, :] for f in Gy))
-    GyT = Cons(*(f[1:, :] for f in Gy))
-
-    Un = Cons(
-        *(
-            u - dt * (fr - fl) - dt * (gt - gb)
-            for u, fl, fr, gb, gt in zip(U, FxL, FxR, GyB, GyT)
-        )
-    )
-
-    Un = _diffusion(cfg, U, mask, center, Un, dt)
-
-    # Positivity / finiteness repair (:1166-1173).
-    Un = Un._replace(rho=jnp.maximum(Un.rho, e2.EPS_RHO))
-    pp = e2.cons_to_prim(Un, cfg.gamma)
-    bad = (
-        (pp.p <= e2.EPS_P)
-        | ~jnp.isfinite(pp.p)
-        | ~jnp.isfinite(pp.rho)
-        | ~jnp.isfinite(pp.u)
-        | ~jnp.isfinite(pp.v)
-    )
-    fixed = e2.prim_to_cons(e2.clamp_prim(pp), cfg.gamma)
-    Un = e2.c_where(bad, fixed, Un)
-
-    # Solid cells keep their state (:1092-1094).
-    Un = e2.c_where(mask, U, Un)
+    Up, Mp = pad_bc(cfg, U, mask)
+    Un = step_core_padded(cfg, Up, Mp, dt)
 
     return Hypersonic2DState(U=Un, mask=mask, t=s.t + dt)
 

@@ -1,0 +1,47 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU): the fused
+kernels must reproduce the XLA dataflow paths to float32 round-off."""
+
+import jax
+import numpy as np
+
+from fluidsims_tpu.kernels import gray_scott_pallas as gsp
+from fluidsims_tpu.kernels import hypersonic2d_pallas as hp
+from fluidsims_tpu.solvers import gray_scott as gs
+from fluidsims_tpu.solvers import hypersonic2d as h2
+
+
+def test_hypersonic_pallas_matches_xla():
+    cfg = h2.default_config(nx=64, ny=32)
+    s = h2.init(cfg)
+    step_p = hp.make_step_pallas(cfg, band=8, interpret=True)
+    a, b = s, s
+    for _ in range(4):
+        a = step_p(a)
+        b = h2.step(cfg, b)
+    for f, g, n in zip(a.U, b.U, ("rho", "mx", "my", "E")):
+        fa, ga = np.asarray(f), np.asarray(g)
+        scale = np.maximum(np.abs(ga), 1.0)
+        assert (np.abs(fa - ga) / scale).max() < 1e-5, n
+    np.testing.assert_allclose(float(a.t), float(b.t), rtol=1e-6)
+
+
+def test_gray_scott_pallas_matches_xla():
+    cfg = gs.GrayScottConfig(nx=48, ny=32)
+    s = gs.init(cfg)
+    step_p = gsp.make_step_pallas(cfg, band=8, interpret=True)
+    a, b = s, s
+    for _ in range(10):
+        a = step_p(a)
+        b = gs.step(cfg, b)
+    np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a.v), np.asarray(b.v),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_hypersonic_pallas_band_validation():
+    cfg = h2.default_config(nx=64, ny=30)
+    import pytest
+
+    with pytest.raises(ValueError):
+        hp.make_step_pallas(cfg, band=8)
