@@ -5,17 +5,78 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Benchmarks the flagship 2-D hypersonic solver at 2048x2048 float32 (the
 BASELINE.json target metric: steps/sec at 2048^2 hypersonic grid on one
-chip).  The reference publishes no numbers (BASELINE.md), so vs_baseline is
-reported against the recorded prior-round value when available, else 1.0.
+chip), using the fused Pallas kernel when it compiles (XLA dataflow
+fallback otherwise).  The reference publishes no numbers (BASELINE.md), so
+vs_baseline is reported against the recorded prior-round value when
+available, else 1.0.  A secondary SPH particle-steps/sec line goes to
+stderr.
 
-Env overrides: FST_BENCH_NX / FST_BENCH_NY / FST_BENCH_STEPS for smaller
-grids when running off-TPU.
+Env overrides: FST_BENCH_NX / FST_BENCH_NY / FST_BENCH_STEPS / FST_BENCH_IMPL
+(pallas|xla) / FST_BENCH_SPH=0 to skip the secondary metric.
 """
 
 import json
 import os
 import sys
 import time
+
+
+def _sync(x):
+    import numpy as np
+
+    return np.asarray(x).ravel()[:1]
+
+
+def bench_hypersonic(jax, nx, ny, steps, impl):
+    from fluidsims_tpu.solvers import hypersonic2d as h2
+
+    cfg = h2.default_config(nx=nx, ny=ny)
+    state = h2.init(cfg)
+
+    step_fn = None
+    used = "xla"
+    if impl != "xla":
+        try:
+            from fluidsims_tpu.kernels import hypersonic2d_pallas as hp
+
+            band = 16 if ny % 16 == 0 else 8
+            cand = jax.jit(hp.make_step_pallas(cfg, band=band))
+            out = cand(state)
+            _sync(out.t)
+            step_fn = cand
+            used = "pallas"
+        except Exception as e:
+            print(f"# pallas kernel unavailable ({str(e)[:120]}); "
+                  "falling back to XLA", file=sys.stderr)
+    if step_fn is None:
+        step_fn = jax.jit(lambda s: h2.step(cfg, s))
+        _sync(step_fn(state).t)
+
+    t0 = time.perf_counter()
+    out = state
+    for _ in range(steps):
+        out = step_fn(out)
+    _sync(out.t)
+    wall = time.perf_counter() - t0
+    return steps / wall, used, cfg
+
+
+def bench_sph(jax, steps=50):
+    from fluidsims_tpu.solvers import sph
+
+    cfg = sph.SPHConfig(n=1 << 16, rain=False)
+    state = sph.init(cfg)
+    run = jax.jit(lambda s: sph.run(cfg, s, 10))
+    out = run(state)
+    _sync(out.t)
+    t0 = time.perf_counter()
+    o = state
+    for _ in range(steps // 10):
+        o = run(o)
+    _sync(o.t)
+    wall = time.perf_counter() - t0
+    n_steps = 10 * (steps // 10)
+    return cfg.n * n_steps / wall
 
 
 def main():
@@ -31,34 +92,9 @@ def main():
     nx = int(os.environ.get("FST_BENCH_NX", "2048"))
     ny = int(os.environ.get("FST_BENCH_NY", "2048"))
     steps = int(os.environ.get("FST_BENCH_STEPS", "100"))
+    impl = os.environ.get("FST_BENCH_IMPL", "auto")
 
-    from fluidsims_tpu.solvers import hypersonic2d as h2
-
-    cfg = h2.default_config(nx=nx, ny=ny)
-    state = h2.init(cfg)
-
-    chunk = min(steps, 25)
-    reps = max(1, steps // chunk)
-    run = jax.jit(lambda s: h2.run(cfg, s, chunk), donate_argnums=0)
-
-    # Warmup / compile with the same trace that will be timed.
-    warm = run(state)
-    jax.block_until_ready(warm)
-    import numpy as np
-
-    _ = np.asarray(warm.t)  # hard sync through the device tunnel
-
-    state = h2.init(cfg)
-    t0 = time.perf_counter()
-    out = state
-    for _ in range(reps):
-        out = run(out)
-    _ = np.asarray(out.t)
-    wall = time.perf_counter() - t0
-    steps = chunk * reps
-
-    steps_per_sec = steps / wall
-    value = steps_per_sec
+    value, used, cfg = bench_hypersonic(jax, nx, ny, steps, impl)
 
     prior = None
     for fname in sorted(os.listdir(".")):
@@ -72,22 +108,25 @@ def main():
                 pass
     vs = value / prior if prior else 1.0
 
+    print(json.dumps({
+        "metric": f"hypersonic2d_{nx}x{ny}_steps_per_sec",
+        "value": round(value, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs, 3),
+    }))
     print(
-        json.dumps(
-            {
-                "metric": f"hypersonic2d_{nx}x{ny}_steps_per_sec",
-                "value": round(value, 3),
-                "unit": "steps/sec",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
-    # Extra context on stderr (not part of the contract line).
-    print(
-        f"# {nx}x{ny} f32, {steps} steps in {wall:.2f}s "
-        f"({nx*ny*steps/wall/1e6:.1f} Mcell-steps/s) on {jax.devices()[0]}",
+        f"# {nx}x{ny} f32 [{used}], {steps} steps "
+        f"({nx * ny * value / 1e6:.1f} Mcell-steps/s) on {jax.devices()[0]}",
         file=sys.stderr,
     )
+
+    if os.environ.get("FST_BENCH_SPH", "1") != "0":
+        try:
+            psps = bench_sph(jax)
+            print(f"# sph 65536 particles: {psps / 1e6:.2f} M particle-steps/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# sph bench failed: {str(e)[:120]}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -330,6 +330,28 @@ def cmd_mpm(args):
         print("\n".join("".join(r) for r in chars))
 
 
+def cmd_nbody(args):
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    from .solvers import nbody_graph as ng
+
+    cfg = ng.GraphLayoutConfig(max_number=args.max_number, dims=args.dims,
+                               grid_res=args.grid_res, dtype=args.dtype)
+    s = ng.init(cfg)
+    run = jax.jit(lambda st, n: ng.run(cfg, st, n), static_argnums=1)
+    t0 = _time.perf_counter()
+    out = run(s, args.steps)
+    _ = np.asarray(out.pos[0, 0])
+    wall = _time.perf_counter() - t0
+    print(f"nbody: {args.steps} steps, {cfg.n_bodies} nodes, "
+          f"{out.edges.shape[0]} edges -> {args.steps / wall:.1f} steps/s")
+    pos = np.asarray(out.pos)
+    print(f"layout extent: {np.abs(pos).max():.1f}")
+
+
 def build_parser():
     ap = argparse.ArgumentParser(prog="fluidsims_tpu",
                                  description=__doc__.split("\n")[0])
@@ -471,6 +493,14 @@ def build_parser():
     p.add_argument("--rows", type=int, default=40)
     _common(p, 500)
     p.set_defaults(fn=cmd_mpm)
+
+    p = sub.add_parser("nbody",
+                       help="prime-graph force layout (number_fluid2d/3d)")
+    p.add_argument("--max-number", type=int, default=1 << 17)
+    p.add_argument("--dims", type=int, default=2, choices=[2, 3])
+    p.add_argument("--grid-res", type=int, default=32)
+    _common(p, 100)
+    p.set_defaults(fn=cmd_nbody)
 
     return ap
 

@@ -1,0 +1,71 @@
+"""Core utilities: checkpoint roundtrip, τ-clock semantics, metrics, CLI."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fluidsims_tpu.core import checkpoint as ckpt
+from fluidsims_tpu.core.clock import TauClock, cfl_dt, tau_tick, tau_tick_feedback
+from fluidsims_tpu.core.metrics import EMA, Throughput
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from fluidsims_tpu.solvers import gray_scott as gs
+
+    cfg = gs.GrayScottConfig(nx=32, ny=16)
+    s = gs.init(cfg)
+    s2 = gs.run(cfg, s, 5)
+    p = tmp_path / "state.npz"
+    ckpt.save_state(p, s2)
+    restored = ckpt.load_state(p, s)
+    np.testing.assert_array_equal(np.asarray(restored.u), np.asarray(s2.u))
+    np.testing.assert_array_equal(np.asarray(restored.v), np.asarray(s2.v))
+    # resuming from the checkpoint continues identically
+    a = gs.run(cfg, restored, 3)
+    b = gs.run(cfg, s2, 3)
+    np.testing.assert_array_equal(np.asarray(a.v), np.asarray(b.v))
+
+
+def test_tau_clock_caps_at_cfl():
+    c = TauClock(t=jnp.asarray(10.0), tau=jnp.asarray(0.0),
+                 dtau=jnp.asarray(0.1))
+    c2, dt = tau_tick(c, jnp.asarray(0.5))
+    assert float(dt) == 0.5          # t*dtau = 1.0 capped by dt_cfl
+    assert float(c2.tau) == 0.1
+
+
+def test_tau_feedback_shrinks_and_grows():
+    c = TauClock(t=jnp.asarray(10.0), tau=jnp.asarray(0.0),
+                 dtau=jnp.asarray(0.1))
+    c2, _ = tau_tick_feedback(c, jnp.asarray(0.5))   # limited -> shrink
+    assert float(c2.dtau) < 0.1
+    c3, _ = tau_tick_feedback(c, jnp.asarray(100.0))  # headroom -> grow
+    assert float(c3.dtau) > 0.1
+
+
+def test_cfl_dt_diffusion_cap():
+    dt = cfl_dt(jnp.asarray(1.0), cfl=0.5, nu_max=10.0)
+    assert abs(float(dt) - 0.025) < 1e-7  # 0.25/nu wins
+    dt = cfl_dt(jnp.asarray(jnp.inf), cfl=0.5)
+    assert float(dt) > 0  # non-finite wavespeed floored
+
+
+def test_metrics():
+    e = EMA()
+    e.update(10.0)
+    v = e.update(20.0)
+    assert 10.0 < v < 20.0
+    t = Throughput(cells=1000)
+    t.tick(10)
+    rep = t.report()
+    assert rep["steps"] == 10 and "mlups" in rep
+
+
+def test_cli_parser_covers_all_solvers():
+    from fluidsims_tpu.cli import build_parser
+
+    ap = build_parser()
+    subs = ap._subparsers._group_actions[0].choices
+    for name in ("gray-scott", "burgers", "shallow-water", "lbm",
+                 "hypersonic2d", "hypersonic3d", "th3cs", "mhd", "stam2d",
+                 "stam3d", "sph", "flip", "mpm", "nbody"):
+        assert name in subs, name
