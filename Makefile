@@ -1,0 +1,25 @@
+# Convenience targets mirroring the reference's Makefile contract
+# (all/cpu/test/clean) for the TPU framework.
+
+PY ?= python
+
+.PHONY: all test bench native dryrun clean
+
+all: native
+
+native:
+	cc -O2 -shared -fPIC native/fourspl.c -o native/libfourspl.so
+
+test:
+	$(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+dryrun:
+	JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+		$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+clean:
+	rm -f native/libfourspl.so
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

@@ -365,6 +365,61 @@ def run(cfg: SPHConfig, st: SPHState, n_steps: int) -> SPHState:
     return scan_steps(lambda s: step(cfg, s), st, n_steps)
 
 
+def make_split_stepper(cfg: SPHConfig):
+    """Two separately-jitted phases per substep (density | forces+integrate).
+
+    The single-jit `step` graph at 65k particles exceeds what this
+    environment's remote TPU compile helper survives (each phase compiles
+    fine; the union crashes it), so large-N TPU runs chain two dispatches
+    per substep instead — the async dispatch queue hides the host hop.
+    Results are identical to `step` (same ops, same order).
+    """
+    import jax
+
+    grid = cfg.grid()
+
+    @jax.jit
+    def phase_density(pos):
+        s, rho, press, cl, _ = density(cfg, pos, grid)
+        return s, press, cl
+
+    @jax.jit
+    def phase_dt(st: SPHState):
+        # frame-level dt, fixed across the K substeps (tau_sph.cu:666-668)
+        dt_try = st.t * cfg.dtau
+        dt_cfl = cfg.cfl * cfg.h / (cfg.c0 * (1.0 + 2.0 * cfg.visc_alpha))
+        return jnp.minimum(dt_try, dt_cfl) / cfg.visc_substeps
+
+    @jax.jit
+    def phase_advance(st: SPHState, s, press, cl, dt_sub):
+        pos, vel = st.pos, st.vel
+        acc = forces(cfg, pos, vel, s, press, grid, cl)
+        pos, vel = _integrate(cfg, pos, vel, acc, dt_sub)
+        if cfg.use_xsph and cfg.xsph_eps > 0.0:
+            dv = xsph(cfg, pos, vel, s, grid, cl)
+            vel = vel + dv
+        rain_carry = st.rain_carry
+        if cfg.rain:
+            rain_carry = rain_carry + 0.02 * cfg.n * dt_sub
+            nspawn = jnp.minimum(jnp.floor(rain_carry), _RAIN_MAX).astype(
+                jnp.int32)
+            rain_carry = rain_carry - nspawn
+            pos, vel = _rain(cfg, pos, vel, nspawn, cfg.seed + st.step_idx)
+        dtau_actual = dt_sub / jnp.maximum(st.t, 1e-9)
+        t = cfg.t0 * jnp.exp(st.tau + dtau_actual)
+        return SPHState(pos=pos, vel=vel, t=t, tau=st.tau + dtau_actual,
+                        rain_carry=rain_carry, step_idx=st.step_idx)
+
+    def frame_step(st: SPHState) -> SPHState:
+        dt_sub = phase_dt(st)
+        for _ in range(cfg.visc_substeps):
+            s, press, cl = phase_density(st.pos)
+            st = phase_advance(st, s, press, cl, dt_sub)
+        return st._replace(step_idx=st.step_idx + 1)
+
+    return frame_step
+
+
 def rasterize_counts(cfg: SPHConfig, pos, W: int, H: int):
     """Particle counts on a 2x-vertical terminal grid
     (k_rasterize, tau_sph.cu:363-374)."""

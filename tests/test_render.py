@@ -1,0 +1,61 @@
+"""Render layer tests: view modes, masked normalization, colormaps,
+terminal renderers."""
+
+import jax
+import numpy as np
+
+from fluidsims_tpu.render.colormap import jet, mhd_cmap, to_rgba
+from fluidsims_tpu.render.terminal import (autocontrast, hash_dither,
+                                           render_halfblocks, render_ramp)
+from fluidsims_tpu.render.views import VIEW_MODES, render_rgba, render_value
+from fluidsims_tpu.solvers import hypersonic2d as h2
+
+
+def small_state():
+    cfg = h2.default_config(nx=64, ny=32)
+    s = h2.init(cfg)
+    s = jax.jit(lambda st: h2.run(cfg, st, 10))(s)
+    return cfg, s
+
+
+def test_all_view_modes_finite():
+    cfg, s = small_state()
+    for mode in VIEW_MODES:
+        v = np.asarray(render_value(cfg, s, mode))
+        assert np.isfinite(v).all(), mode
+        assert (v[np.asarray(s.mask)] == 0).all(), mode
+
+
+def test_render_rgba_solid_gray():
+    cfg, s = small_state()
+    img = render_rgba(cfg, s, "schlieren")
+    assert img.shape == (32, 64, 4)
+    solid = np.asarray(s.mask)
+    assert (img[solid] == np.array([110, 110, 110, 255])).all()
+    # fluid cells span the colormap (not all one color)
+    assert len(np.unique(img[~solid][:, 0])) > 3
+
+
+def test_jet_endpoints():
+    rgb = jet(np.array([0.0, 0.5, 1.0]))
+    assert tuple(rgb[0]) == (0, 0, 255)      # blue at 0
+    assert rgb[1][1] == 255                  # green at mid
+    assert tuple(rgb[2])[:2] == (255, 0)     # red at 1 (g=0 -> 2-4*0.5)
+    assert to_rgba(rgb).shape == (3, 4)
+
+
+def test_mhd_cmap_range():
+    rgb = mhd_cmap(np.linspace(0, 1, 16))
+    assert rgb.min() >= 0 and rgb.max() <= 255
+
+
+def test_terminal_renderers():
+    f = np.linspace(0, 1, 64).reshape(8, 8)
+    s = render_ramp(f)
+    assert len(s.splitlines()) == 8
+    hb = render_halfblocks(f)
+    assert len(hb.splitlines()) == 4
+    ac = autocontrast(f)
+    assert np.isfinite(ac).all()
+    d = hash_dither(8, 8, 8)
+    assert abs(d).max() <= 0.5 / 8 + 1e-9

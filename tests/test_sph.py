@@ -125,3 +125,17 @@ def test_xsph_smooths_velocity():
     dv = sph.xsph(cfg, st.pos, v, s, grid, cl)
     v2 = v + dv
     assert float(jnp.var(v2)) < float(jnp.var(v))
+
+
+def test_split_stepper_matches_step():
+    """The two-phase TPU stepper must be identical to the single-jit step."""
+    cfg = cfg_small(512, rain=True, dtau=1e-2)
+    st = sph.init(cfg)
+    a, b = st, st
+    frame = sph.make_split_stepper(cfg)
+    for _ in range(5):
+        a = frame(a)
+        b = sph.step(cfg, b)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(a.tau), float(b.tau), rtol=1e-6)
