@@ -1,0 +1,136 @@
+"""Cell-dense particle layout: gather-free neighbor interactions on TPU.
+
+The first cell-list design (cell_list.py) indexes neighbors per particle —
+correct, but every pair interaction needs an (n, capacity) element gather,
+and TPU element gathers are catastrophically slow (measured ~0.4 steps/s
+for 65k-particle SPH).  This layout instead bins particles into a dense
+(Gy, Gx, K) array-of-cells once per step:
+
+  1. sort by cell id, rank-in-cell -> one scatter per field into (M*K,)
+  2. a neighbor CELL's residents are then a pure SHIFT of the dense array
+     (lax slicing, zero gathers),
+  3. pair interactions are (Gy, Gx, K, K) elementwise blocks — VPU-friendly
+     dense arithmetic,
+  4. per-particle results come back with one small gather per output.
+
+This is the TPU-native equivalent of the reference's atomicExch linked
+lists + pointer chasing (tau_sph.cu:159-266).  Particles beyond the K
+capacity of a cell are dropped from the interaction set (capacity is
+auto-sized ~3x the mean occupancy; `overflow` reports drops).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ["DenseCells", "DenseGrid", "make_dense_grid", "bin_particles",
+           "scatter_field", "gather_result", "shift_cells",
+           "NEIGHBOR_OFFSETS_2D"]
+
+NEIGHBOR_OFFSETS_2D = [(ox, oy) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
+
+
+class DenseGrid(NamedTuple):
+    Gx: int
+    Gy: int
+    cell: float
+    K: int
+
+
+class DenseCells(NamedTuple):
+    didx: jnp.ndarray     # (n,) dense slot per particle (M*K = dropped)
+    ok: jnp.ndarray       # (n,) bool: particle stored
+    occ: jnp.ndarray      # (Gy, Gx, K) bool: slot occupied
+    overflow: jnp.ndarray  # scalar int: dropped particles
+
+
+def make_dense_grid(box_x: float, box_y: float, h: float, n: int,
+                    capacity: int = 0, cell_mul: float = 2.0) -> DenseGrid:
+    cell = cell_mul * h
+    Gx = max(1, math.ceil(box_x / cell))
+    Gy = max(1, math.ceil(box_y / cell))
+    if capacity <= 0:
+        mean_occ = n * cell * cell / (box_x * box_y)
+        capacity = max(16, int(math.ceil(3.0 * mean_occ / 8.0)) * 8)
+    return DenseGrid(Gx=Gx, Gy=Gy, cell=cell, K=capacity)
+
+
+def _cid(grid: DenseGrid, pos):
+    gx = jnp.clip(jnp.floor(pos[:, 0] / grid.cell).astype(jnp.int32), 0,
+                  grid.Gx - 1)
+    gy = jnp.clip(jnp.floor(pos[:, 1] / grid.cell).astype(jnp.int32), 0,
+                  grid.Gy - 1)
+    return gy * grid.Gx + gx
+
+
+def bin_particles(grid: DenseGrid, pos) -> DenseCells:
+    n = pos.shape[0]
+    M = grid.Gx * grid.Gy
+    K = grid.K
+
+    cid = _cid(grid, pos)
+    order = jnp.argsort(cid)
+    sc = cid[order]
+    first = jnp.searchsorted(sc, sc, side="left").astype(jnp.int32)
+    slot = jnp.arange(n, dtype=jnp.int32) - first
+    ok_sorted = slot < K
+    didx_sorted = jnp.where(ok_sorted, sc * K + slot, M * K)
+
+    # back to particle order
+    didx = jnp.zeros(n, jnp.int32).at[order].set(didx_sorted)
+    ok = jnp.zeros(n, bool).at[order].set(ok_sorted)
+
+    occ = jnp.zeros(M * K, bool).at[didx].set(True, mode="drop")
+    overflow = n - jnp.sum(ok)
+    return DenseCells(didx=didx, ok=ok,
+                      occ=occ.reshape(grid.Gy, grid.Gx, K),
+                      overflow=overflow)
+
+
+def scatter_field(grid: DenseGrid, cells: DenseCells, f):
+    """(n,) or (n, c) particle field -> (Gy, Gx, K[, c]) dense array."""
+    M = grid.Gx * grid.Gy
+    K = grid.K
+    if f.ndim == 1:
+        out = jnp.zeros(M * K, f.dtype).at[cells.didx].set(f, mode="drop")
+        return out.reshape(grid.Gy, grid.Gx, K)
+    out = jnp.zeros((M * K, f.shape[1]), f.dtype)
+    out = out.at[cells.didx].set(f, mode="drop")
+    return out.reshape(grid.Gy, grid.Gx, K, f.shape[1])
+
+
+def gather_result(grid: DenseGrid, cells: DenseCells, dense, fill=0.0):
+    """(Gy, Gx, K[, c]) dense result -> (n[, c]) per particle (dropped
+    particles get `fill`)."""
+    M = grid.Gx * grid.Gy
+    K = grid.K
+    flat = dense.reshape(M * K, *dense.shape[3:])
+    idx = jnp.clip(cells.didx, 0, M * K - 1)
+    vals = flat[idx]
+    if dense.ndim == 3:
+        return jnp.where(cells.ok, vals, fill)
+    return jnp.where(cells.ok[:, None], vals, fill)
+
+
+def shift_cells(dense, oy: int, ox: int):
+    """Dense array of the (oy, ox)-neighbor cell's residents; out-of-grid
+    neighbors produce zeros (callers also mask with shifted `occ`)."""
+    out = dense
+    if oy:
+        pad = [(0, 0)] * out.ndim
+        pad[0] = (max(-oy, 0), max(oy, 0))
+        out = jnp.pad(out, pad)
+        out = lax.slice_in_dim(out, max(oy, 0), max(oy, 0) + dense.shape[0],
+                               axis=0)
+    if ox:
+        pad = [(0, 0)] * out.ndim
+        pad[1] = (max(-ox, 0), max(ox, 0))
+        out = jnp.pad(out, pad)
+        out = lax.slice_in_dim(out, max(ox, 0), max(ox, 0) + dense.shape[1],
+                               axis=1)
+    return out

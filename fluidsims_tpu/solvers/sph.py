@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import BaseConfig
-from ..ops import cell_list as cl_ops
+from ..ops import cell_dense as cd
 
 __all__ = ["SPHConfig", "SPHState", "init", "step", "run", "density",
            "rasterize_counts"]
@@ -78,13 +78,9 @@ class SPHConfig(BaseConfig):
     def h(self):
         return self.h_mul * self.spacing
 
-    def grid(self) -> cl_ops.CellGrid:
-        cap = self.cell_capacity
-        if cap <= 0:
-            cell = 2.0 * self.h
-            mean_occ = self.n * cell * cell / self.area
-            cap = max(32, int(8 * mean_occ))
-        return cl_ops.make_grid(self.box_x, self.box_y, self.h, cap)
+    def grid(self) -> cd.DenseGrid:
+        return cd.make_dense_grid(self.box_x, self.box_y, self.h, self.n,
+                                  capacity=self.cell_capacity)
 
 
 class SPHState(NamedTuple):
@@ -165,106 +161,128 @@ def init(cfg: SPHConfig) -> SPHState:
     )
 
 
-# --------------------------- neighbor passes --------------------------------
+# ------------------------ cell-dense neighbor passes -----------------------
+#
+# Neighbor interactions run in the gather-free cell-dense layout
+# (ops/cell_dense.py): one sort+scatter per substep, then every neighbor
+# access is a shift of the (Gy, Gx, K) array and pair terms are dense
+# (Gy, Gx, K, K) blocks — the TPU replacement for the reference's
+# atomicExch linked lists (tau_sph.cu:159-266).
 
 
-def _neighbor_reduce(cfg, grid, cl, pos, fn, init_vals):
-    """Accumulate fn over all neighbor candidates, one 3x3 offset at a time
-    (keeps peak gather memory at (n, capacity) per field)."""
-    acc = init_vals
-    for ox, oy in cl_ops.NEIGHBOR_OFFSETS:
-        idx, valid = cl_ops.neighbor_indices(grid, cl, ox, oy)
-        acc = fn(acc, idx, valid)
-    return acc
+def _pair_geometry(cfg, dpos, occ, oy, ox):
+    """rij, r2 and validity for center-slot x neighbor-slot pairs of one
+    3x3 cell offset. Shapes (Gy, Gx, K, K[, 2])."""
+    npos = cd.shift_cells(dpos, oy, ox)
+    nocc = cd.shift_cells(occ, oy, ox)
+    rij = dpos[..., :, None, :] - npos[..., None, :, :]
+    r2 = jnp.sum(rij * rij, axis=-1)
+    valid = nocc[..., None, :] & (r2 < (2.0 * cfg.h) ** 2)
+    return npos, nocc, rij, r2, valid
 
 
-def density(cfg: SPHConfig, pos, grid=None, cl=None):
+def density(cfg: SPHConfig, pos, grid=None, cells=None):
     """SPH density + Tait pressure on log-density
     (k_density_pressure_cell, tau_sph.cu:178-213)."""
     grid = grid or cfg.grid()
-    cl = cl or cl_ops.build_cell_list(grid, pos)
+    cells = cells or cd.bin_particles(grid, pos)
+    dpos = cd.scatter_field(grid, cells, pos)
+    occ = cells.occ
     h = cfg.h
-    two_h2 = (2.0 * h) ** 2
 
-    def add(rho, idx, valid):
-        pj = pos[jnp.clip(idx, 0, cl.n - 1)]          # (n, K, 2)
-        rij = pos[:, None, :] - pj
-        r2 = jnp.sum(rij * rij, axis=-1)
-        ok = valid & (r2 < two_h2)
-        w = jnp.where(ok, w_cubic(jnp.sqrt(jnp.maximum(r2, 0.0)), h), 0.0)
-        return rho + cfg.mass * jnp.sum(w, axis=1)
+    rho_d = jnp.zeros(occ.shape, pos.dtype)
+    for ox, oy in cd.NEIGHBOR_OFFSETS_2D:
+        _, _, _, r2, valid = _pair_geometry(cfg, dpos, occ, oy, ox)
+        w = jnp.where(valid, w_cubic(jnp.sqrt(jnp.maximum(r2, 0.0)), h), 0.0)
+        rho_d = rho_d + cfg.mass * jnp.sum(w, axis=-1)
 
-    rho = _neighbor_reduce(cfg, grid, cl, pos, add,
-                           jnp.zeros(pos.shape[0], pos.dtype))
+    rho = cd.gather_result(grid, cells, rho_d)
     s = jnp.log(jnp.maximum(rho, 1e-6))
     rho = jnp.exp(s)
-    return s, rho, tait_pressure(cfg, rho), cl, grid
+    return s, rho, tait_pressure(cfg, rho), cells, grid
 
 
-def forces(cfg: SPHConfig, pos, vel, s, press, grid, cl):
+def forces(cfg: SPHConfig, pos, vel, s, press, grid, cells):
     """Pressure gradient + Monaghan viscosity + gravity
     (k_forces_cell, tau_sph.cu:215-266)."""
     h = cfg.h
-    two_h2 = (2.0 * h) ** 2
+    K = grid.K
     rho = jnp.exp(s)
-    n = pos.shape[0]
-    self_idx = jnp.arange(n, dtype=jnp.int32)
+    dpos = cd.scatter_field(grid, cells, pos)
+    dvel = cd.scatter_field(grid, cells, vel)
+    drho = cd.scatter_field(grid, cells, rho)
+    dpress = cd.scatter_field(grid, cells, press)
+    occ = cells.occ
 
-    def add(acc, idx, valid):
-        j = jnp.clip(idx, 0, n - 1)
-        pj = pos[j]
-        rij = pos[:, None, :] - pj
-        r2 = jnp.sum(rij * rij, axis=-1)
-        ok = valid & (r2 < two_h2) & (r2 > 1e-16) & (idx != self_idx[:, None])
+    acc_d = jnp.zeros(dpos.shape, pos.dtype)
+    not_self = ~jnp.eye(K, dtype=bool)
+    for ox, oy in cd.NEIGHBOR_OFFSETS_2D:
+        npos, nocc, rij, r2, valid = _pair_geometry(cfg, dpos, occ, oy, ox)
+        if ox == 0 and oy == 0:
+            valid = valid & not_self
+        valid = valid & (r2 > 1e-16)
+
         r = jnp.sqrt(jnp.maximum(r2, 1e-30))
         gw = grad_w_cubic(rij, r, h)
 
-        rho_j = rho[j]
-        p_j = press[j]
-        common = -cfg.mass * (
-            press[:, None] / (rho[:, None] ** 2) + p_j / (rho_j**2)
-        )
+        nrho = cd.shift_cells(drho, oy, ox)
+        npress = cd.shift_cells(dpress, oy, ox)
+        rho_i = jnp.maximum(drho[..., :, None], 1e-30)
+        rho_j = jnp.maximum(nrho[..., None, :], 1e-30)
+        p_i = dpress[..., :, None]
+        p_j = npress[..., None, :]
+        common = -cfg.mass * (p_i / (rho_i**2) + p_j / (rho_j**2))
         a = common[..., None] * gw
 
         if cfg.use_visc:
-            vij = vel[:, None, :] - vel[j]
+            nvel = cd.shift_cells(dvel, oy, ox)
+            vij = dvel[..., :, None, :] - nvel[..., None, :, :]
             dot = jnp.sum(vij * rij, axis=-1)
             mu = (h * dot) / (r2 + 0.01 * h * h)
-            rho_bar = 0.5 * (rho[:, None] + rho_j)
-            pi_ij = jnp.where(dot < 0.0, (-cfg.visc_alpha * cfg.c0 * mu)
-                              / rho_bar, 0.0)
+            rho_bar = 0.5 * (rho_i + rho_j)
+            pi_ij = jnp.where(dot < 0.0,
+                              (-cfg.visc_alpha * cfg.c0 * mu) / rho_bar, 0.0)
             a = a + (-cfg.mass * pi_ij)[..., None] * gw
 
-        a = jnp.where(ok[..., None], a, 0.0)
-        return acc + jnp.sum(a, axis=1)
+        a = jnp.where(valid[..., None], a, 0.0)
+        acc_d = acc_d + jnp.sum(a, axis=-2)
 
-    acc = _neighbor_reduce(cfg, grid, cl, pos, add, jnp.zeros_like(pos))
+    acc = cd.gather_result(grid, cells, acc_d)
     if cfg.use_grav:
         acc = acc + jnp.asarray([0.0, -cfg.gravity], pos.dtype)
     return acc
 
 
-def xsph(cfg: SPHConfig, pos, vel, s, grid, cl):
-    """XSPH velocity smoothing (k_xsph_cell, tau_sph.cu:274-313)."""
-    h = cfg.h
-    two_h2 = (2.0 * h) ** 2
-    rho = jnp.exp(s)
-    n = pos.shape[0]
-    self_idx = jnp.arange(n, dtype=jnp.int32)
+def xsph(cfg: SPHConfig, pos, vel, s, grid, cells):
+    """XSPH velocity smoothing (k_xsph_cell, tau_sph.cu:274-313).
 
-    def add(acc, idx, valid):
-        j = jnp.clip(idx, 0, n - 1)
-        rij = pos[:, None, :] - pos[j]
-        r2 = jnp.sum(rij * rij, axis=-1)
-        ok = valid & (r2 < two_h2) & (idx != self_idx[:, None])
-        w = jnp.where(ok, w_cubic(jnp.sqrt(jnp.maximum(r2, 0.0)), h), 0.0)
-        rho_bar = 0.5 * (rho[:, None] + rho[j])
-        vij = vel[j] - vel[:, None, :]
-        return acc + jnp.sum(
-            ((cfg.mass / rho_bar) * w)[..., None] * vij, axis=1
+    Note: like the reference, this runs with the PRE-integrate cell binning
+    and densities but post-integrate positions/velocities."""
+    h = cfg.h
+    K = grid.K
+    rho = jnp.exp(s)
+    dpos = cd.scatter_field(grid, cells, pos)
+    dvel = cd.scatter_field(grid, cells, vel)
+    drho = cd.scatter_field(grid, cells, rho)
+    occ = cells.occ
+
+    dv_d = jnp.zeros(dpos.shape, pos.dtype)
+    not_self = ~jnp.eye(K, dtype=bool)
+    for ox, oy in cd.NEIGHBOR_OFFSETS_2D:
+        npos, nocc, rij, r2, valid = _pair_geometry(cfg, dpos, occ, oy, ox)
+        if ox == 0 and oy == 0:
+            valid = valid & not_self
+        w = jnp.where(valid, w_cubic(jnp.sqrt(jnp.maximum(r2, 0.0)), h), 0.0)
+        nrho = cd.shift_cells(drho, oy, ox)
+        rho_bar = 0.5 * (jnp.maximum(drho[..., :, None], 1e-30)
+                         + jnp.maximum(nrho[..., None, :], 1e-30))
+        nvel = cd.shift_cells(dvel, oy, ox)
+        vij = nvel[..., None, :, :] - dvel[..., :, None, :]
+        dv_d = dv_d + jnp.sum(
+            ((cfg.mass / rho_bar) * w)[..., None] * vij, axis=-2
         )
 
-    dv = _neighbor_reduce(cfg, grid, cl, pos, add, jnp.zeros_like(vel))
+    dv = cd.gather_result(grid, cells, dv_d)
     return cfg.xsph_eps * dv
 
 

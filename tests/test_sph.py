@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fluidsims_tpu.ops import cell_list as cl_ops
+from fluidsims_tpu.ops import cell_dense as cd
 from fluidsims_tpu.solvers import sph
 
 
@@ -47,24 +47,19 @@ def brute_density_pressure(cfg, pos):
     return s, rho, p
 
 
-def test_cell_list_finds_all_neighbors():
+def test_dense_binning_stores_every_particle():
     cfg = cfg_small(200)
     st = sph.init(cfg)
     grid = cfg.grid()
-    cl = cl_ops.build_cell_list(grid, st.pos)
-    assert int(cl_ops.overflow_count(grid, cl)) == 0
-
-    # every particle is found exactly once across the 3x3 neighborhood of
-    # its own cell
-    found = np.zeros(cfg.n, int)
-    for ox, oy in cl_ops.NEIGHBOR_OFFSETS:
-        idx, valid = cl_ops.neighbor_indices(grid, cl, ox, oy)
-        idxs = np.asarray(idx)[np.asarray(valid)]
-        for j in idxs:
-            found[j] += 1
-    # each particle appears once per neighboring cell that references it;
-    # at least its own cell does
-    assert (found >= 1).all()
+    cells = cd.bin_particles(grid, st.pos)
+    assert int(cells.overflow) == 0
+    assert bool(cells.ok.all())
+    # slots are unique: occupied count equals particle count
+    assert int(cells.occ.sum()) == cfg.n
+    # scatter/gather roundtrip is the identity for stored particles
+    back = cd.gather_result(grid, cells,
+                            cd.scatter_field(grid, cells, st.pos))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(st.pos))
 
 
 def test_density_matches_bruteforce():
