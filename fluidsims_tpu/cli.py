@@ -352,6 +352,16 @@ def cmd_nbody(args):
     print(f"layout extent: {np.abs(pos).max():.1f}")
 
 
+def cmd_regression(args):
+    import sys as _sys
+
+    from .regression import run_regression
+
+    code = run_regression(nx=args.nx, ny=args.ny, steps=args.steps,
+                          baseline=args.baseline, write=args.write_baseline)
+    _sys.exit(code)
+
+
 def build_parser():
     ap = argparse.ArgumentParser(prog="fluidsims_tpu",
                                  description=__doc__.split("\n")[0])
@@ -493,6 +503,18 @@ def build_parser():
     p.add_argument("--rows", type=int, default=40)
     _common(p, 500)
     p.set_defaults(fn=cmd_mpm)
+
+    p = sub.add_parser("regression",
+                       help="snapshot regression gate "
+                            "(tau_hypersonic_cuda_tests)")
+    p.add_argument("--nx", type=int, default=2048)
+    p.add_argument("--ny", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=24)
+    p.add_argument("--baseline", default="hypersonic2d_baseline.txt")
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("--write-baseline", action="store_true")
+    g.add_argument("--verify-baseline", action="store_true", default=True)
+    p.set_defaults(fn=cmd_regression)
 
     p = sub.add_parser("nbody",
                        help="prime-graph force layout (number_fluid2d/3d)")

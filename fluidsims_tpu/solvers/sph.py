@@ -10,10 +10,15 @@ GPU rain emitter with an LCG hash overwriting random particle slots
 (:493-510); analytic CFL dt = CFL*h/(c0(1+2α)) capped by t*dτ (:666-668)
 with exact τ bookkeeping per substep (:718-721).
 
-TPU design: the atomicExch linked-list neighbor grid becomes a sort-based
-fixed-capacity cell list (fluidsims_tpu.ops.cell_list); the two 3x3-cell
-neighbor traversals become 9 masked (N, capacity) gather+reduce passes —
-static shapes, no data-dependent loops, whole step in one jit.
+TPU design: the atomicExch linked-list neighbor grid becomes the gather-free
+cell-dense layout (fluidsims_tpu.ops.cell_dense): particles are sorted and
+scattered into a (Gy, Gx, K) array-of-cells once per substep, the two
+3x3-cell neighbor traversals become shifted-array (Gy, Gx, K, K) dense pair
+blocks (pure VPU arithmetic, no gathers), and results return to particle
+order with one small gather per output.  Static shapes, no data-dependent
+loops, the whole step compiles as one jit.  Measured 2.3M particle-steps/s
+at 65k particles on one v5e chip (the per-particle-gather formulation ran
+87x slower and crashed this environment's TPU compiler at 65k).
 """
 
 from __future__ import annotations

@@ -69,3 +69,24 @@ def test_cli_parser_covers_all_solvers():
                  "hypersonic2d", "hypersonic3d", "th3cs", "mhd", "stam2d",
                  "stam3d", "sph", "flip", "mpm", "nbody"):
         assert name in subs, name
+
+
+def test_regression_write_verify_roundtrip(tmp_path):
+    """make-test semantics: write a baseline then verify it on the same
+    machine (Makefile:39-43), plus tamper detection."""
+    from fluidsims_tpu import regression as rg
+
+    base = tmp_path / "base.txt"
+    code = rg.run_regression(nx=64, ny=32, steps=6, baseline=str(base),
+                             write=True)
+    assert code == 0 and base.exists()
+    code = rg.run_regression(nx=64, ny=32, steps=6, baseline=str(base),
+                             write=False)
+    assert code == 0
+
+    snap = rg.read_snapshot(base)
+    snap["sum_rho"] *= 1.001
+    rg.write_snapshot(base, snap)
+    code = rg.run_regression(nx=64, ny=32, steps=6, baseline=str(base),
+                             write=False)
+    assert code == 1
