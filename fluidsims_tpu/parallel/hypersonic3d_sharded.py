@@ -1,0 +1,137 @@
+"""Multi-chip 3-D hypersonic solver: z-slab decomposition + ICI halo
+exchange.
+
+The 3-D domain is periodic in y and z (tau_hypersonic_3d_cuda.cu:729-730);
+sharding along z means the device ring IS the periodic wrap: each chip
+exchanges WENO-halo (3) z-slices with its ring neighbors via lax.ppermute,
+runs the identical dense step on the extended slab, and crops.  The τ-clock
+feedback needs the global wavespeed max — lax.pmax over the mesh axis, the
+cross-chip analog of the reference's atomicMax
+(tau_hypersonic_3d_cuda.cu:523-532).
+
+The solid mask is sharded and halo-exchanged like the fields, so each
+shard's extended mask equals the globally-wrapped mask slice exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solvers import hypersonic3d as h3
+from ..solvers.hypersonic3d import HALO
+
+__all__ = ["shard_state", "make_sharded_run"]
+
+_FIELDS = ("xi", "phix", "phiy", "phiz", "lam", "zet")
+
+
+def shard_state(state: h3.Hypersonic3DState, mesh: Mesh, axis: str = "z"):
+    """Place a dense state onto the mesh with z-slab (first-axis) sharding."""
+    vol = NamedSharding(mesh, P(axis, None, None))
+    scal = NamedSharding(mesh, P())
+    kw = {k: jax.device_put(getattr(state, k), vol) for k in _FIELDS}
+    kw["solid"] = jax.device_put(state.solid, vol)
+    kw["t"] = jax.device_put(state.t, scal)
+    kw["dtau"] = jax.device_put(state.dtau, scal)
+    return h3.Hypersonic3DState(**kw)
+
+
+def _exchange_z(f, axis_name, n_dev):
+    """Periodic halo exchange along the first (z) axis over the ring."""
+    top = lax.ppermute(
+        f[-HALO:], axis_name,
+        perm=[(i, (i + 1) % n_dev) for i in range(n_dev)],
+    )
+    bot = lax.ppermute(
+        f[:HALO], axis_name,
+        perm=[(i, (i - 1) % n_dev) for i in range(n_dev)],
+    )
+    return jnp.concatenate([top, f, bot], axis=0)
+
+
+def _local_steps(cfg, axis, n_dev, n_steps, xi, phix, phiy, phiz, lam, zet,
+                 solid, t, dtau):
+    nzl = cfg.nz // n_dev
+    cfg_ext = replace(cfg, nz=nzl + 2 * HALO)
+
+    def one(carry, _):
+        fields, sol, t, dtau = carry
+        ext = [_exchange_z(f, axis, n_dev) for f in fields]
+        sol_ext = _exchange_z(sol, axis, n_dev)
+
+        # solid_pad for the extended slab covers z in [-2H, nzl+2H): built
+        # from a 2*HALO-slice ring exchange (equals the globally wrapped
+        # mask exactly)
+        top2 = lax.ppermute(
+            sol[-2 * HALO:], axis,
+            perm=[(i, (i + 1) % n_dev) for i in range(n_dev)],
+        )
+        bot2 = lax.ppermute(
+            sol[:2 * HALO], axis,
+            perm=[(i, (i - 1) % n_dev) for i in range(n_dev)],
+        )
+        sol_pad = jnp.concatenate([top2, sol, bot2], axis=0)
+        # pad y and x like build_solid(pad=HALO): y periodic wrap, x by SDF
+        # — outside-x cells are never solid for the default geometry, and
+        # cell_is_solid evaluates the SDF there; replicate by computing the
+        # x/y pads from the SDF on the extended coordinates is not possible
+        # per-shard without global z indices, so require the geometry not to
+        # touch the x/y boundaries (true for the reference's centered
+        # sphere) and pad x with False, y with wrap.
+        sol_pad = jnp.concatenate(
+            [sol_pad[:, -HALO:, :], sol_pad, sol_pad[:, :HALO, :]], axis=1)
+        zf = jnp.zeros((sol_pad.shape[0], sol_pad.shape[1], HALO), bool)
+        sol_pad = jnp.concatenate([zf, sol_pad, zf], axis=2)
+
+        s_ext = h3.Hypersonic3DState(
+            xi=ext[0], phix=ext[1], phiy=ext[2], phiz=ext[3], lam=ext[4],
+            zet=ext[5], solid=sol_ext, t=t, dtau=dtau,
+        )
+        out = h3.step(cfg_ext, s_ext, solid_pad=sol_pad,
+                      wavespeed_reduce=lambda v: lax.pmax(v, axis))
+        new_fields = tuple(
+            getattr(out, k)[HALO:-HALO] for k in _FIELDS
+        )
+        return (new_fields, sol, out.t, out.dtau), None
+
+    carry = ((xi, phix, phiy, phiz, lam, zet), solid, t, dtau)
+    (fields, sol, t, dtau), _ = lax.scan(one, carry, None, length=n_steps)
+    return (*fields, sol, t, dtau)
+
+
+def make_sharded_run(cfg: h3.Hypersonic3DConfig, mesh: Mesh, n_steps: int,
+                     axis: str = "z"):
+    n_dev = mesh.shape[axis]
+    if cfg.nz % n_dev:
+        raise ValueError(f"nz={cfg.nz} not divisible by {n_dev} devices")
+    if cfg.nz // n_dev < 2 * HALO:
+        raise ValueError(
+            f"slab ({cfg.nz // n_dev}) thinner than 2*WENO halo ({2 * HALO})"
+        )
+
+    body = functools.partial(_local_steps, cfg, axis, n_dev, n_steps)
+    vol = P(axis, None, None)
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(vol,) * 7 + (P(), P()),
+        out_specs=(vol,) * 7 + (P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(state: h3.Hypersonic3DState) -> h3.Hypersonic3DState:
+        outs = sharded(state.xi, state.phix, state.phiy, state.phiz,
+                       state.lam, state.zet, state.solid, state.t,
+                       state.dtau)
+        return h3.Hypersonic3DState(
+            xi=outs[0], phix=outs[1], phiy=outs[2], phiz=outs[3],
+            lam=outs[4], zet=outs[5], solid=outs[6], t=outs[7], dtau=outs[8],
+        )
+
+    return run

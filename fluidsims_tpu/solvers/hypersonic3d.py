@@ -529,10 +529,15 @@ def _mirror(q: PrimT, axis: int) -> PrimT:
                  ev=q.ev)
 
 
-def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState) -> Hypersonic3DState:
+def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
+         solid_pad=None, wavespeed_reduce=None) -> Hypersonic3DState:
+    """One fused step. `solid_pad` (halo-3 extended solid mask) and
+    `wavespeed_reduce` (cross-device lax.pmax) are hooks for the sharded
+    multi-chip path (parallel/hypersonic3d_sharded.py)."""
     dtype = s.xi.dtype
     solid = s.solid
-    solid_pad = jnp.asarray(build_solid(cfg, pad=HALO))
+    if solid_pad is None:
+        solid_pad = jnp.asarray(build_solid(cfg, pad=HALO))
 
     # τ advance (pre-step, :1680-1683)
     t = s.t * jnp.exp(s.dtau)
@@ -659,6 +664,8 @@ def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState) -> Hypersonic3DState:
         + (jnp.abs(q1.w) + a1) / cfg.dz
     ssum = jnp.where(jnp.isfinite(ssum) & ~solid, ssum, 0.0)
     maxs = jnp.max(ssum)
+    if wavespeed_reduce is not None:
+        maxs = wavespeed_reduce(maxs)
 
     # dτ feedback controller (:1697-1704)
     dt_cfl = cfg.cfl / jnp.maximum(maxs, 1e-9)
