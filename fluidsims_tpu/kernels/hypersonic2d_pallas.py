@@ -76,6 +76,13 @@ def make_step_pallas(cfg: h2.Hypersonic2DConfig, band: int = 16,
     H, W = cfg.ny, cfg.nx
     if H % band:
         raise ValueError(f"ny={H} must be divisible by band={band}")
+    # ~90 band-sized f32 temporaries stay live in the fused core; past this
+    # the Mosaic scoped-VMEM (16MB) overflows (x-tiling would be needed).
+    if (band + 2 * PAD) * (W + 2 * PAD) * 4 * 90 > 15_000_000:
+        raise ValueError(
+            f"band={band} x width={W} exceeds the VMEM budget of the fused "
+            "kernel; reduce band (>=8) or use the XLA path for very wide "
+            "grids")
     n_bands = H // band
     Wp = W + 2 * PAD
     n_fields = 4

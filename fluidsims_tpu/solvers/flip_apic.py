@@ -143,11 +143,13 @@ def _sample(u, v, px, py, n):
     tx = gx - i0
     ty = gy - j0
 
+    from ..ops.gather import gather2d
+
     def bil(f):
-        f00 = f[j0, i0]
-        f10 = f[j0, i1]
-        f01 = f[j1, i0]
-        f11 = f[j1, i1]
+        f00 = gather2d(f, j0, i0)
+        f10 = gather2d(f, j0, i1)
+        f01 = gather2d(f, j1, i0)
+        f11 = gather2d(f, j1, i1)
         return (1 - tx) * ((1 - ty) * f00 + ty * f01) \
             + tx * ((1 - ty) * f10 + ty * f11)
 

@@ -156,11 +156,13 @@ def _advect(cfg, q0, uu, vv):
     s0 = 1.0 - s1
     t0 = 1.0 - t1
 
+    from ..ops.gather import gather2d
+
     qp = jnp.pad(q0, 1)  # (n+2, n+2); ring = 0, index space matches IX
-    q00 = qp[j0, i0]
-    q01 = qp[j0 + 1, i0]
-    q10 = qp[j0, i0 + 1]
-    q11 = qp[j0 + 1, i0 + 1]
+    q00 = gather2d(qp, j0, i0)
+    q01 = gather2d(qp, j0 + 1, i0)
+    q10 = gather2d(qp, j0, i0 + 1)
+    q11 = gather2d(qp, j0 + 1, i0 + 1)
     return s0 * (t0 * q00 + t1 * q01) + s1 * (t0 * q10 + t1 * q11)
 
 

@@ -158,8 +158,10 @@ def _advect(cfg, q0, u, v, w):
     sy = y - j0
     sz = z - k0
 
+    from ..ops.gather import gather3d
+
     def g(kk, jj, ii):
-        return q0[kk, jj, ii]
+        return gather3d(q0, kk, jj, ii)
 
     c000 = g(k0, j0, i0)
     c100 = g(k0, j0, i0 + 1)
