@@ -209,7 +209,6 @@ def cmd_mhd(args):
     import jax
     import numpy as np
 
-    from .render.colormap import mhd_cmap  # noqa: F401 (used via render)
     from .render.terminal import render_ramp
     from .solvers import mhd
 

@@ -9,7 +9,6 @@ writer implements the extern "C" API the reference's th3cs.cu links against
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

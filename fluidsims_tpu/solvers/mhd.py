@@ -16,7 +16,6 @@ with ch = maxs (:160-162); view modes rho/p/|B|/|divB| (:178-183).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import NamedTuple
 

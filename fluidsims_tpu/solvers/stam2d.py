@@ -15,7 +15,7 @@ Behavioral spec: js_cuda.cu — 512² double-precision solver with:
 
 TPU design: fields are stored as interior (N, N) arrays; the zero ring is
 realized by jnp.pad at use sites.  The Jacobi loop is a lax.fori_loop; the
-bilinear back-trace gather is XLA advanced indexing.  Everything under one
+bilinear back-trace uses flattened 1-D gathers (ops/gather.py).  Everything under one
 jit.  Default dtype float32 (the reference is f64; dtype="float64" matches
 it exactly under x64).
 """

@@ -45,3 +45,18 @@ def test_hypersonic_pallas_band_validation():
 
     with pytest.raises(ValueError):
         hp.make_step_pallas(cfg, band=8)
+
+
+def test_lbm_pallas_matches_xla():
+    from fluidsims_tpu.kernels import lbm_pallas as lp
+    from fluidsims_tpu.solvers import lbm
+
+    cfg = lbm.LBMConfig(nx=64, ny=32, drive=1e-4)
+    s = lbm.init(cfg)
+    step_p = lp.make_step_pallas(cfg, band=8, interpret=True)
+    a, b = s, s
+    for _ in range(5):
+        a = step_p(a)
+        b = lbm.step(cfg, b)
+    np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
+                               rtol=1e-5, atol=1e-6)
