@@ -3,8 +3,13 @@
 One grid step = one row band of the (9, ny, nx) lattice fully updated in
 VMEM: moments, BGK collision, pull-streaming and on-link bounce-back
 (tau_lbm.cu:94-132 semantics via the pull formulation of solvers/lbm.py)
-in a single pass — ~2 reads + 1 write of the lattice per step instead of
-the XLA path's per-direction materialized shifts.
+in a single pass.
+
+Status: measured 219 MLUPS at 2048x1024 vs 270 MLUPS for the XLA dataflow
+path — the triple-block halo trick costs 3x lattice reads, which dominates
+this read-heavy kernel, so the XLA path stays the default.  Kept as the
+basis for a thin-halo revision (and verified bit-identical to the dense
+step).
 
 The y boundary rows are always solid channel walls (build_solid,
 tau_lbm.cu:84-87), so the out-of-bounds pull case of the dense step can
