@@ -90,3 +90,22 @@ def test_regression_write_verify_roundtrip(tmp_path):
     code = rg.run_regression(nx=64, ny=32, steps=6, baseline=str(base),
                              write=False)
     assert code == 1
+
+
+def test_cli_smoke(capsys):
+    """End-to-end CLI runs for a few solvers at tiny sizes."""
+    from fluidsims_tpu.cli import main
+
+    main(["gray-scott", "--nx", "32", "--ny", "16", "--steps", "10",
+          "--headless"])
+    out = capsys.readouterr().out
+    assert "gray-scott: 10 steps" in out
+
+    main(["lbm", "--nx", "32", "--ny", "16", "--steps", "10", "--headless"])
+    out = capsys.readouterr().out
+    assert "MLUPS" in out
+
+    main(["burgers", "--nx", "64", "--ny", "1", "--colehopf", "--dtau",
+          "1e-3", "--steps", "20", "--headless"])
+    out = capsys.readouterr().out
+    assert "cole-hopf rel L2 error" in out
