@@ -19,8 +19,14 @@ implementation of the physics, so the float64-oracle tests cover both
 (equivalence asserted in tests/test_pallas_kernels.py).
 
 VMEM budget: the core keeps ~90 band-sized temporaries live; band=16 fits
-the 16MB scoped VMEM at W=2048 (band=32 OOMs).  Larger W needs a smaller
-band.
+the 16MB scoped VMEM at tile width 2048 (band=32 OOMs).  Wider grids are
+x-tiled: the grid becomes (n_bands, n_tiles) and each field is laid out
+host-side as a concatenation of tiles that each carry their own halo-2
+columns, so the Blocked (non-overlapping) x index stays exact — the x
+analog of the y triple-block trick, with the overlap materialized in the
+layout instead of in triplicate block reads.  `pick_tile_width` chooses the
+widest power-of-two divisor of W that fits; the reference-native 8192-wide
+grid runs as 4 tiles of 2048.
 
 (An in-kernel-BC + thin-halo-slab variant that would cut input traffic to
 ~(band+16)/band was tried and reliably crashes this environment's remote
@@ -46,15 +52,18 @@ from ..solvers.hypersonic2d import PAD
 __all__ = ["step_pallas", "run_pallas", "make_step_pallas"]
 
 
-def _band_kernel(cfg, n_fields, dt_ref, *refs):
-    """One row band: assemble halo windows from 3 adjacent blocks per field
-    and run the shared physics core."""
+def _band_kernel(cfg, n_fields, wtp, dt_ref, *refs):
+    """One row band x one column tile: assemble halo windows from 3
+    adjacent row blocks per field and run the shared physics core.  `wtp`
+    is the logical tile width incl. x halos; stored blocks may be wider
+    (padded to a 128 multiple for Mosaic) — the excess columns are junk."""
     ins = refs[: 3 * (n_fields + 1)]
     outs = refs[3 * (n_fields + 1):]
     dt = dt_ref[0, 0]
 
     def window(a, b, c):
-        return jnp.concatenate([a[-PAD:, :], b[:, :], c[:PAD, :]], axis=0)
+        return jnp.concatenate(
+            [a[-PAD:, :wtp], b[:, :wtp], c[:PAD, :wtp]], axis=0)
 
     fields = []
     for k in range(n_fields + 1):
@@ -69,43 +78,70 @@ def _band_kernel(cfg, n_fields, dt_ref, *refs):
         o_ref[:] = val
 
 
+def pick_tile_width(W: int, band: int, itemsize: int = 4) -> int:
+    """Widest divisor of W (halved repeatedly) whose halo tile fits the
+    16MB scoped VMEM with the core's ~90 live band temporaries.  The
+    untiled threshold (15M in formula terms) is empirically validated at
+    2048x16xf32; tiling adds 128-multiple junk columns and was measured
+    22% over the formula, hence the tighter 13M tiled threshold."""
+    wt = W
+    while (band + 2 * PAD) * (wt + 2 * PAD) * itemsize * 90 > (
+            15_000_000 if wt == W else 13_000_000):
+        if wt % 2 or wt // 2 < 256:
+            raise ValueError(
+                f"band={band} x width={W} cannot be x-tiled to fit the VMEM "
+                "budget (need a power-of-two-divisible width or a smaller "
+                "band >= 8); use the XLA path")
+        wt //= 2
+    if wt != W and wt % 128:
+        # Mosaic requires the trailing block dim to be a 128 multiple
+        # (or the whole array), so a partial-width tile must be x128
+        raise ValueError(
+            f"x-tile width {wt} for nx={W} is not a multiple of 128; "
+            "pick a 128-multiple grid width or use the XLA path")
+    return wt
+
+
 def make_step_pallas(cfg: h2.Hypersonic2DConfig, band: int = 16,
-                     interpret: bool = False):
-    """Build the fused step. `band` = rows per grid step (multiple of 8,
-    VMEM-bounded — see module docstring)."""
+                     interpret: bool = False, tile_w: int | None = None):
+    """Build the fused step. `band` = rows per grid step (multiple of 8);
+    `tile_w` = columns per grid step (default: widest fit — see module
+    docstring)."""
     H, W = cfg.ny, cfg.nx
     if H % band:
         raise ValueError(f"ny={H} must be divisible by band={band}")
-    # ~90 band-sized f32 temporaries stay live in the fused core; past this
-    # the Mosaic scoped-VMEM (16MB) overflows (x-tiling would be needed).
-    if (band + 2 * PAD) * (W + 2 * PAD) * 4 * 90 > 15_000_000:
-        raise ValueError(
-            f"band={band} x width={W} exceeds the VMEM budget of the fused "
-            "kernel; reduce band (>=8) or use the XLA path for very wide "
-            "grids")
+    itemsize = jnp.dtype(cfg.jax_dtype).itemsize
+    Wt = pick_tile_width(W, band, itemsize) if tile_w is None else tile_w
+    if W % Wt:
+        raise ValueError(f"nx={W} must be divisible by tile_w={Wt}")
     n_bands = H // band
-    Wp = W + 2 * PAD
+    n_tiles = W // Wt
+    Wtp = Wt + 2 * PAD
+    # stored tile width: Mosaic needs the trailing block dim to be a
+    # multiple of 128 (or the whole array); the excess columns are junk
+    Wts = Wtp if n_tiles == 1 else -(-Wtp // 128) * 128
     n_fields = 4
 
     in_specs = []
     for _k in range(n_fields + 1):
         for off in range(3):
             in_specs.append(
-                pl.BlockSpec((band, Wp),
-                             functools.partial(lambda i, o: (i + o, 0),
+                pl.BlockSpec((band, Wts),
+                             functools.partial(lambda i, j, o: (i + o, j),
                                                o=off),
                              memory_space=pltpu.VMEM)
             )
-    dt_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+    dt_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                            memory_space=pltpu.SMEM)
     out_specs = [
-        pl.BlockSpec((band, W), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((band, Wt), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM)
         for _ in range(n_fields)
     ]
 
     call = pl.pallas_call(
-        functools.partial(_band_kernel, cfg, n_fields),
-        grid=(n_bands,),
+        functools.partial(_band_kernel, cfg, n_fields, Wtp),
+        grid=(n_bands, n_tiles),
         in_specs=[dt_spec] + in_specs,
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((H, W), cfg.jax_dtype)
@@ -116,13 +152,25 @@ def make_step_pallas(cfg: h2.Hypersonic2DConfig, band: int = 16,
     infl = e2.prim_to_cons(h2._inflow(cfg), cfg.gamma)
     ypad = band  # BC rows extended to a whole band (extra rows never read)
 
+    def tile_layout(f):
+        """Re-lay a BC-padded (Hp, W + 2*PAD) field as n_tiles x-tiles that
+        each carry their own halo-2 columns (zero-padded to the stored
+        width Wts), concatenated to (Hp, n_tiles * Wts) so Blocked x
+        indexing is exact."""
+        if n_tiles == 1:
+            return f
+        tiles = [f[:, j * Wt:(j + 1) * Wt + 2 * PAD] for j in range(n_tiles)]
+        if Wts > Wtp:
+            tiles = [jnp.pad(t, ((0, 0), (0, Wts - Wtp))) for t in tiles]
+        return jnp.concatenate(tiles, axis=1)
+
     def pad_field(f, left_val):
         """Single fused pad: y edge-clamp extended to `band` rows, x right
         edge copy (outflow), x left inflow constant — the pad_bc semantics
         (hypersonic2d.pad_bc) in one materialization."""
         f = jnp.pad(f, ((ypad, ypad), (0, PAD)), mode="edge")
         left = jnp.full((f.shape[0], PAD), left_val, f.dtype)
-        return jnp.concatenate([left, f], axis=1)
+        return tile_layout(jnp.concatenate([left, f], axis=1))
 
     def step(s: h2.Hypersonic2DState) -> h2.Hypersonic2DState:
         U, mask = s.U, s.mask
@@ -137,7 +185,8 @@ def make_step_pallas(cfg: h2.Hypersonic2DConfig, band: int = 16,
         padded = [pad_field(f, v) for f, v in zip(U, infl)]
         mf = jnp.pad(mask.astype(cfg.jax_dtype), ((ypad, ypad), (0, 0)),
                      mode="edge")
-        mf = jnp.pad(mf, ((0, 0), (PAD, PAD)), mode="constant")
+        mf = tile_layout(jnp.pad(mf, ((0, 0), (PAD, PAD)),
+                                 mode="constant"))
         padded.append(mf)
 
         args = [dt_arr]
@@ -150,13 +199,14 @@ def make_step_pallas(cfg: h2.Hypersonic2DConfig, band: int = 16,
     return step
 
 
-def step_pallas(cfg, s, band: int = 16, interpret: bool = False):
-    return make_step_pallas(cfg, band, interpret)(s)
+def step_pallas(cfg, s, band: int = 16, interpret: bool = False,
+                tile_w: int | None = None):
+    return make_step_pallas(cfg, band, interpret, tile_w)(s)
 
 
 def run_pallas(cfg, s, n_steps: int, band: int = 16,
-               interpret: bool = False):
+               interpret: bool = False, tile_w: int | None = None):
     from ..core.stepper import scan_steps
 
-    step = make_step_pallas(cfg, band, interpret)
+    step = make_step_pallas(cfg, band, interpret, tile_w)
     return scan_steps(step, s, n_steps)

@@ -39,12 +39,40 @@ def test_gray_scott_pallas_matches_xla():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_hypersonic_pallas_xtiled_matches_untiled():
+    # force 2 x-tiles on a small grid: the tiled layout must be exact
+    cfg = h2.default_config(nx=128, ny=32)
+    s = h2.init(cfg)
+    step_t = hp.make_step_pallas(cfg, band=8, interpret=True, tile_w=64)
+    step_1 = hp.make_step_pallas(cfg, band=8, interpret=True, tile_w=128)
+    a, b = s, s
+    for _ in range(3):
+        a = step_t(a)
+        b = step_1(b)
+    for f, g, n in zip(a.U, b.U, ("rho", "mx", "my", "E")):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(g),
+                                      err_msg=n)
+
+
 def test_hypersonic_pallas_band_validation():
     cfg = h2.default_config(nx=64, ny=30)
     import pytest
 
     with pytest.raises(ValueError):
         hp.make_step_pallas(cfg, band=8)
+
+
+def test_pick_tile_width():
+    # 2048 wide fits whole at band=16; 8192 must split into 1024 tiles
+    # (tiled threshold is tighter — junk columns, measured headroom)
+    assert hp.pick_tile_width(2048, 16) == 2048
+    assert hp.pick_tile_width(8192, 16) == 1024
+    # f64 halves the budget once more
+    assert hp.pick_tile_width(8192, 16, itemsize=8) == 512
+    import pytest
+
+    with pytest.raises(ValueError):  # 300 is not power-of-two divisible
+        hp.pick_tile_width(4800 * 4, 4096)
 
 
 def test_lbm_pallas_matches_xla():
