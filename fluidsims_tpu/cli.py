@@ -166,7 +166,25 @@ def cmd_hypersonic2d(args):
         inflow_mach=args.mach, dtype=args.dtype,
     )
     s = h2.init(cfg)
-    run = jax.jit(lambda st, n: h2.run(cfg, st, n), static_argnums=1)
+    step = None
+    if args.impl in ("pallas", "auto"):
+        try:
+            from .core.stepper import scan_steps
+            from .kernels import hypersonic2d_pallas as hp
+
+            band = 16 if cfg.ny % 16 == 0 else 8
+            step_p = hp.make_step_pallas(cfg, band=band)
+            step = jax.jit(lambda st, n: scan_steps(step_p, st, n),
+                           static_argnums=1)
+            jax.block_until_ready(step(s, 1).U.rho)
+        except Exception as e:
+            if args.impl == "pallas":
+                raise
+            print(f"# pallas unavailable ({str(e)[:120]}); using XLA",
+                  file=sys.stderr)
+            step = None
+    run = step if step is not None else jax.jit(
+        lambda st, n: h2.run(cfg, st, n), static_argnums=1)
     out = _run_headless(run, s, args.steps, "hypersonic2d",
                         cells=cfg.nx * cfg.ny)
     print(f"t = {float(out.t):.6f}")
@@ -429,6 +447,10 @@ def build_parser():
     p.add_argument("--visc-e", type=float, default=2e-2)
     p.add_argument("--mach", type=float, default=25.0)
     p.add_argument("--view", default="schlieren")
+    p.add_argument("--impl", choices=("auto", "pallas", "xla"),
+                   default="auto",
+                   help="step implementation: fused Pallas TPU kernel, "
+                        "XLA dataflow, or auto (pallas w/ XLA fallback)")
     _common(p, 100)
     p.set_defaults(fn=cmd_hypersonic2d)
 
