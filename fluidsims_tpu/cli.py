@@ -350,22 +350,38 @@ def cmd_mpm(args):
 def cmd_nbody(args):
     import time as _time
 
-    import jax
     import numpy as np
 
     from .solvers import nbody_graph as ng
 
     cfg = ng.GraphLayoutConfig(max_number=args.max_number, dims=args.dims,
                                grid_res=args.grid_res, dtype=args.dtype)
-    s = ng.init(cfg)
-    run = jax.jit(lambda st, n: ng.run(cfg, st, n), static_argnums=1)
-    t0 = _time.perf_counter()
-    out = run(s, args.steps)
-    _ = np.asarray(out.pos[0, 0])
-    wall = _time.perf_counter() - t0
+    if args.native:
+        # pure host path: never touches jax / the device
+        from .solvers import nbody_native as nn
+
+        p0, v0, edges = ng.init_arrays(cfg)
+        with nn.BHEngine(cfg, edges, n_threads=args.threads or None,
+                         theta=args.theta) as eng:
+            eng.set_state(p0, v0)
+            t0 = _time.perf_counter()
+            eng.run(args.steps)
+            wall = _time.perf_counter() - t0
+            pos, _ = eng.get_state()
+        n_edges = len(edges)
+    else:
+        import jax
+
+        s = ng.init(cfg)
+        run = jax.jit(lambda st, n: ng.run(cfg, st, n), static_argnums=1)
+        t0 = _time.perf_counter()
+        out = run(s, args.steps)
+        _ = np.asarray(out.pos[0, 0])
+        wall = _time.perf_counter() - t0
+        pos = np.asarray(out.pos)
+        n_edges = out.edges.shape[0]
     print(f"nbody: {args.steps} steps, {cfg.n_bodies} nodes, "
-          f"{out.edges.shape[0]} edges -> {args.steps / wall:.1f} steps/s")
-    pos = np.asarray(out.pos)
+          f"{n_edges} edges -> {args.steps / wall:.1f} steps/s")
     print(f"layout extent: {np.abs(pos).max():.1f}")
 
 
@@ -542,6 +558,13 @@ def build_parser():
     p.add_argument("--max-number", type=int, default=1 << 17)
     p.add_argument("--dims", type=int, default=2, choices=[2, 3])
     p.add_argument("--grid-res", type=int, default=32)
+    p.add_argument("--native", action="store_true",
+                   help="use the native threaded Barnes-Hut engine "
+                        "(native/nbody_bh.c) instead of the TPU path")
+    p.add_argument("--threads", type=int, default=None,
+                   help="worker threads for --native (default: CPU count)")
+    p.add_argument("--theta", type=float, default=0.75,
+                   help="BH multipole acceptance for --native (0 = exact)")
     _common(p, 100)
     p.set_defaults(fn=cmd_nbody)
 

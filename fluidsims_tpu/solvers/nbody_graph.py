@@ -37,7 +37,7 @@ import numpy as np
 from ..core.config import BaseConfig
 
 __all__ = ["GraphLayoutConfig", "GraphLayoutState", "generate_edges", "init",
-           "step", "run"]
+           "init_arrays", "step", "run"]
 
 
 def generate_edges(max_number: int) -> np.ndarray:
@@ -94,7 +94,9 @@ class GraphLayoutState(NamedTuple):
     steps: jnp.ndarray
 
 
-def init(cfg: GraphLayoutConfig) -> GraphLayoutState:
+def init_arrays(cfg: GraphLayoutConfig):
+    """NumPy (pos, vel, edges) for init — shared by the TPU state builder
+    and the native engine (which must not touch the device)."""
     n = cfg.n_bodies
     radius = math.sqrt(n) * 20.0
     if cfg.dims == 2:
@@ -116,11 +118,16 @@ def init(cfg: GraphLayoutConfig) -> GraphLayoutState:
         pos[1:, 1] = yy * radius
         pos[1:, 2] = np.sin(phi) * r * radius
 
+    return pos, np.zeros((n, cfg.dims)), generate_edges(cfg.max_number)
+
+
+def init(cfg: GraphLayoutConfig) -> GraphLayoutState:
+    pos, vel, edges = init_arrays(cfg)
     dt = cfg.jax_dtype
     return GraphLayoutState(
         pos=jnp.asarray(pos, dt),
-        vel=jnp.zeros((n, cfg.dims), dt),
-        edges=jnp.asarray(generate_edges(cfg.max_number)),
+        vel=jnp.asarray(vel, dt),
+        edges=jnp.asarray(edges),
         steps=jnp.asarray(0, jnp.int32),
     )
 
