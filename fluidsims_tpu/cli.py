@@ -202,12 +202,14 @@ def cmd_hypersonic3d(args):
     from .render.terminal import render_ramp
     from .solvers import hypersonic3d as h3
 
-    cfg = h3.default_config(args.n, dtype=args.dtype)
+    cfg = h3.default_config(args.n, dtype=args.dtype, outflow=args.outflow)
     s = h3.init(cfg)
     run = jax.jit(lambda st, n: h3.run(cfg, st, n), static_argnums=1)
     out = _run_headless(run, s, args.steps, "hypersonic3d",
                         cells=cfg.nx * cfg.ny * cfg.nz)
-    print(f"t = {float(out.t):.6f} dtau = {float(out.dtau):.3e}")
+    refl = float(h3.outflow_reflection_metric(cfg, out))
+    print(f"t = {float(out.t):.6f} dtau = {float(out.dtau):.3e} "
+          f"refl_dp = {refl:.3e}")
     if args.render:
         vol = np.asarray(h3.vis_field(cfg, out, args.view))
         _maybe_render(args, render_ramp(vol[cfg.nz // 2]))
@@ -474,6 +476,8 @@ def build_parser():
                        help="3-D hypersonic flow (tau_hypersonic_3d_cuda)")
     p.add_argument("--n", type=int, default=64)
     p.add_argument("--view", default="schlieren")
+    p.add_argument("--outflow", choices=("transmissive", "characteristic"),
+                   default="transmissive")
     _common(p, 100)
     p.set_defaults(fn=cmd_hypersonic3d)
 

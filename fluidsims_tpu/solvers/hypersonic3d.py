@@ -94,9 +94,12 @@ class Hypersonic3DConfig(BaseConfig):
     sponge_out_strength: float = 0.05
     t0: float = 1e-5
     dtau0: float = 1e-3
+    outflow: str = "transmissive"   # or "characteristic" (LODI-gated)
     dtype: str = "float32"
 
     def validate(self):
+        self._require(self.outflow in ("transmissive", "characteristic"),
+                      "outflow must be transmissive or characteristic")
         self._require(self.nx > 0 and self.ny > 0 and self.nz > 0,
                       "grid dims must be positive")
         self._require(self.gamma_floor > 1.0, "gamma must be > 1")
@@ -412,11 +415,16 @@ def init(cfg: Hypersonic3DConfig) -> Hypersonic3DState:
 
 def _pad_field(cfg, f, outflow_col):
     """Halo-3 padding: x- side = will be overwritten by inflow/wall selects
-    (uses edge for now), x+ side = transmissive outflow ghost column, y/z
-    periodic wrap."""
+    (uses edge for now), x+ side = outflow ghost column(s), y/z periodic
+    wrap.  `outflow_col` is (nz, ny) — one column repeated HALO times
+    (transmissive) — or (nz, ny, HALO) with per-ghost values
+    (characteristic)."""
     # x: left pad handled by caller (inflow constant), right by outflow ghost
     left = jnp.repeat(f[:, :, :1], HALO, axis=2) * 0  # placeholder, replaced
-    right = jnp.repeat(outflow_col[:, :, None], HALO, axis=2)
+    if outflow_col.ndim == 2:
+        right = jnp.repeat(outflow_col[:, :, None], HALO, axis=2)
+    else:
+        right = outflow_col
     f = jnp.concatenate([left, f, right], axis=2)
     # y periodic
     f = jnp.concatenate([f[:, -HALO:, :], f, f[:, :HALO, :]], axis=1)
@@ -425,12 +433,10 @@ def _pad_field(cfg, f, outflow_col):
     return f
 
 
-def _padded_prims(cfg, q: PrimT, solid_pad):
-    """Build halo-extended primitive fields with all BCs resolved
-    (prim_at_xbc semantics + apply_wall on solid cells, :724-751)."""
-    infl = inflow_prim(cfg, q.r.dtype)
-
-    # transmissive outflow ghost from the last x column (:691-722)
+def _outflow_transmissive(cfg, q: PrimT, infl):
+    """Transmissive outflow ghost with subsonic pressure relaxation and
+    reversed-flow inflow snap (outflow_prim_transmissive, :691-722).
+    Returns one (nz, ny) column per component."""
     qR = PrimT(*(f[:, :, -1] for f in q))
     aR = soundspeed(cfg, qR)
     un = qR.u
@@ -442,10 +448,70 @@ def _padded_prims(cfg, q: PrimT, solid_pad):
         p=jnp.maximum(p_out, RHO_P_FLOOR), ev=jnp.maximum(qR.ev, 0.0),
     )
     # reversed flow at the outlet snaps to inflow (:705-708)
-    q_out = PrimT(*(
+    return PrimT(*(
         jnp.where(un < 0.0, jnp.broadcast_to(i, o.shape), o)
         for i, o in zip(infl, q_out)
     ))
+
+
+def _outflow_characteristic(cfg, q: PrimT, infl):
+    """LODI characteristic outflow ghosts (outflow_prim_characteristic,
+    :624-690): linear extrapolation from the last two columns decomposed
+    into waves against the inflow target, with outgoing-only gating on
+    sign(un -/+ a) and sign(un).  Returns (nz, ny, HALO) per component —
+    ghost g uses the g-fold extrapolation, matching xghost - (nx-1)."""
+    qR = PrimT(*(f[:, :, -1] for f in q))
+    qL = PrimT(*(f[:, :, -2] for f in q)) if cfg.nx > 1 else qR
+    a = soundspeed(cfg, qR)
+    a2 = a * a
+    rho_ref = jnp.maximum(qR.r, RHO_P_FLOOR)
+    un = qR.u
+    qT = infl
+
+    cols = []
+    for g in range(1, HALO + 1):
+        gf = float(g)
+        ex = PrimT(
+            r=jnp.maximum(qR.r + gf * (qR.r - qL.r), RHO_P_FLOOR),
+            u=qR.u + gf * (qR.u - qL.u),
+            v=qR.v + gf * (qR.v - qL.v),
+            w=qR.w + gf * (qR.w - qL.w),
+            p=jnp.maximum(qR.p + gf * (qR.p - qL.p), RHO_P_FLOOR),
+            ev=jnp.maximum(qR.ev + gf * (qR.ev - qL.ev), 0.0),
+        )
+        drho, du, dp = ex.r - qT.r, ex.u - qT.u, ex.p - qT.p
+        L1 = 0.5 * (dp / a2 - rho_ref * du / a)
+        L5 = 0.5 * (dp / a2 + rho_ref * du / a)
+        L2 = drho - dp / a2
+        L3, L4, L6 = ex.v - qT.v, ex.w - qT.w, ex.ev - qT.ev
+        L1 = jnp.where(un - a < 0.0, 0.0, L1)
+        incoming = un < 0.0
+        L2 = jnp.where(incoming, 0.0, L2)
+        L3 = jnp.where(incoming, 0.0, L3)
+        L4 = jnp.where(incoming, 0.0, L4)
+        L6 = jnp.where(incoming, 0.0, L6)
+        L5 = jnp.where(un + a < 0.0, 0.0, L5)
+        cols.append(PrimT(
+            r=jnp.maximum(qT.r + L1 + L2 + L5, RHO_P_FLOOR),
+            u=qT.u + (L5 - L1) / jnp.maximum(rho_ref * a, DENOM_EPS),
+            v=qT.v + L3,
+            w=qT.w + L4,
+            p=jnp.maximum(qT.p + a2 * (L1 + L5), RHO_P_FLOOR),
+            ev=jnp.maximum(qT.ev + L6, 0.0),
+        ))
+    return PrimT(*(jnp.stack(fs, axis=-1)
+                   for fs in zip(*cols)))
+
+
+def _padded_prims(cfg, q: PrimT, solid_pad):
+    """Build halo-extended primitive fields with all BCs resolved
+    (prim_at_xbc semantics + apply_wall on solid cells, :724-751)."""
+    infl = inflow_prim(cfg, q.r.dtype)
+
+    if cfg.outflow == "characteristic":
+        q_out = _outflow_characteristic(cfg, q, infl)
+    else:
+        q_out = _outflow_transmissive(cfg, q, infl)
 
     padded = []
     for comp, out_col, infl_val in zip(q, q_out, infl):
@@ -693,6 +759,17 @@ def run(cfg: Hypersonic3DConfig, s: Hypersonic3DState, n_steps: int):
 
 
 # ------------------------------ view modes ---------------------------------
+
+def outflow_reflection_metric(cfg, s: Hypersonic3DState, nprobe: int = 6):
+    """Outflow-reflection diagnostic: max |p - p_inflow| over the last
+    `nprobe` x-columns (k_outflow_reflection_metric,
+    tau_hypersonic_3d_cuda.cu:1389-1410; the atomicMaxFloat reduction
+    becomes a jnp.max)."""
+    nprobe = max(1, min(int(nprobe), cfg.nx))
+    p = jnp.exp(s.lam[:, :, -nprobe:])
+    p_ref = max(cfg.inflow_p, RHO_P_FLOOR)
+    return jnp.max(jnp.abs(p - p_ref))
+
 
 VIS_MODES = [
     "schlieren", "log_rho", "log_p", "speed", "mach", "vorticity",

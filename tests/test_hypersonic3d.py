@@ -96,6 +96,54 @@ def test_flow_develops_toward_sphere():
         assert (f[solid] == 0).all(), mode
 
 
+def test_characteristic_outflow_runs_and_matches_supersonic_extrap():
+    cfg = small_cfg(12, outflow="characteristic", dtype="float64")
+    s = h3.init(cfg)
+    out = jax.jit(lambda st: h3.run(cfg, st, 10))(s)
+    for name in ("xi", "phix", "lam", "zet"):
+        assert np.isfinite(np.asarray(getattr(out, name))).all(), name
+
+    # supersonic outflow (un > a): every wave is outgoing, so the LODI
+    # ghost reduces exactly to the linear extrapolation of the last two
+    # columns (tau_hypersonic_3d_cuda.cu:668-676 gates all pass)
+    q = h3.PrimT(
+        r=jnp.full((4, 4, 6), 0.5, jnp.float64),
+        u=jnp.full((4, 4, 6), 50.0, jnp.float64),
+        v=jnp.zeros((4, 4, 6), jnp.float64),
+        w=jnp.zeros((4, 4, 6), jnp.float64),
+        p=jnp.full((4, 4, 6), 0.3, jnp.float64),
+        ev=jnp.full((4, 4, 6), 0.1, jnp.float64),
+    )
+    # make the last two columns differ so extrapolation is nontrivial
+    q = q._replace(p=q.p.at[:, :, -1].set(0.32), r=q.r.at[:, :, -1].set(0.52))
+    infl = h3.inflow_prim(cfg, jnp.float64)
+    ghosts = h3._outflow_characteristic(cfg, q, infl)
+    for g in range(h3.HALO):
+        gf = g + 1.0
+        np.testing.assert_allclose(
+            np.asarray(ghosts.p[:, :, g]), 0.32 + gf * (0.32 - 0.3),
+            rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(ghosts.r[:, :, g]), 0.52 + gf * (0.52 - 0.5),
+            rtol=1e-12)
+
+
+def test_outflow_reflection_metric():
+    cfg = small_cfg(12, dtype="float64")
+    s = h3.init(cfg)
+    m = float(h3.outflow_reflection_metric(cfg, s, nprobe=6))
+    # init state: p == inflow_p everywhere -> metric 0
+    np.testing.assert_allclose(m, 0.0, atol=1e-12)
+    # bump one cell in the probe region
+    lam = s.lam.at[3, 3, -2].set(jnp.log(0.05))
+    m2 = float(h3.outflow_reflection_metric(cfg, s._replace(lam=lam), 6))
+    np.testing.assert_allclose(m2, 0.05 - cfg.inflow_p, rtol=1e-10)
+    # the same bump outside the probe window is invisible
+    lam3 = s.lam.at[3, 3, 0].set(jnp.log(0.05))
+    m3 = float(h3.outflow_reflection_metric(cfg, s._replace(lam=lam3), 6))
+    np.testing.assert_allclose(m3, 0.0, atol=1e-12)
+
+
 def test_dtau_controller_reacts():
     cfg = small_cfg(16)
     s = h3.init(cfg)
