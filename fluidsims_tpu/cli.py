@@ -349,6 +349,38 @@ def cmd_mpm(args):
         print("\n".join("".join(r) for r in chars))
 
 
+def cmd_hypersonic2d_cpu(args):
+    import time as _time
+
+    import numpy as np
+
+    from .solvers.hypersonic2d_cpu import HypersonicCPU, HypersonicCPUConfig
+
+    cfg = HypersonicCPUConfig(w=args.nx, h=args.ny, gamma=args.gamma,
+                              cfl=args.cfl, mach=args.mach)
+    if args.native:
+        from .solvers.hypersonic2d_cpu_native import HypersonicCPUNative
+
+        with HypersonicCPUNative(cfg) as sim:
+            t0 = _time.perf_counter()
+            sim.step(args.steps)
+            wall = _time.perf_counter() - t0
+            U, mask, t = sim.state
+    else:
+        sim = HypersonicCPU(cfg)
+        t0 = _time.perf_counter()
+        for _ in range(args.steps):
+            sim.step()
+        wall = _time.perf_counter() - t0
+        U, mask, t = sim.U, sim.mask, sim.t
+    rho = np.maximum(U[..., 0], 1e-10)
+    print(f"hypersonic2d-cpu[{'native' if args.native else 'numpy'}]: "
+          f"{args.steps} steps in {wall:.3f}s -> "
+          f"{args.steps / wall:.1f} steps/s")
+    print(f"t = {t:.6f}  rho range [{rho[~mask].min():.4f}, "
+          f"{rho[~mask].max():.4f}]")
+
+
 def cmd_nbody(args):
     import time as _time
 
@@ -556,6 +588,19 @@ def build_parser():
     g.add_argument("--write-baseline", action="store_true")
     g.add_argument("--verify-baseline", action="store_true", default=True)
     p.set_defaults(fn=cmd_regression)
+
+    p = sub.add_parser("hypersonic2d-cpu",
+                       help="CPU reference 2-D hypersonic solver "
+                            "(tau_hypersonic / tau_hypersonic_simd)")
+    p.add_argument("--nx", type=int, default=300)
+    p.add_argument("--ny", type=int, default=300)
+    p.add_argument("--gamma", type=float, default=1.4)
+    p.add_argument("--cfl", type=float, default=0.3)
+    p.add_argument("--mach", type=float, default=15.0)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--native", action="store_true",
+                   help="use the C build (bitwise-equal to the NumPy path)")
+    p.set_defaults(fn=cmd_hypersonic2d_cpu)
 
     p = sub.add_parser("nbody",
                        help="prime-graph force layout (number_fluid2d/3d)")

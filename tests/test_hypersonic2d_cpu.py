@@ -63,3 +63,29 @@ def test_inflow_column_refresh_cycle():
     assert 0.0 < col1[0, 0] < 1.0
     assert 0.0 < col2[0, 0] < 1.0
     assert (col1[:, 1] > 0).all()
+
+
+def test_native_build_matches_numpy_bitwise():
+    """The C build (native/hypersonic2d_cpu.c) replicates the NumPy
+    solver's arithmetic and face-update application order, so state and
+    time agree to the last bit — the same property the reference claims
+    between tau_hypersonic.c and tau_hypersonic_simd.c (:5-11)."""
+    from fluidsims_tpu.solvers import hypersonic2d_cpu_native as hn
+
+    if not hn.native_available():
+        import pytest
+
+        pytest.skip("no C compiler available")
+    cfg = HypersonicCPUConfig(w=72, h=48)
+    py = HypersonicCPU(cfg)
+    with hn.HypersonicCPUNative(cfg) as nat:
+        U0, m0, t0 = nat.state
+        np.testing.assert_array_equal(U0, py.U)
+        np.testing.assert_array_equal(m0, py.mask)
+        assert t0 == 0.0
+        for _ in range(25):
+            py.step()
+        nat.step(25)
+        U, mask, t = nat.state
+        np.testing.assert_array_equal(U, py.U)
+        assert t == py.t
