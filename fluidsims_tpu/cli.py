@@ -263,7 +263,8 @@ def cmd_stam3d(args):
 
     from .solvers import stam3d
 
-    cfg = stam3d.Stam3DConfig(n=args.n, dtype=args.dtype)
+    cfg = stam3d.Stam3DConfig(n=args.n, dtype=args.dtype,
+                              advect_k=args.advect_k)
     s = stam3d.init(cfg)
     run = jax.jit(lambda st, n: stam3d.run(cfg, st, n), static_argnums=1)
     out = _run_headless(run, s, args.steps, "stam3d",
@@ -539,6 +540,10 @@ def build_parser():
     p.add_argument("--n", type=int, default=192)
     p.add_argument("--cols", type=int, default=100)
     p.add_argument("--rows", type=int, default=40)
+    p.add_argument("--advect-k", type=int, default=0,
+                   help="0 = exact gather advection; K >= 1 = dense-shift "
+                        "advection, exact for backtraces <= K cells and "
+                        "~10x faster on TPU (try 2)")
     _common(p, 20)
     p.set_defaults(fn=cmd_stam3d)
 

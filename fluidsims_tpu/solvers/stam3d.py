@@ -48,11 +48,17 @@ class Stam3DConfig(BaseConfig):
     seed_sigma: float = 0.12
     jacobi_iters: int = 12
     seed: int = 1337
+    # semi-Lagrangian advection kernel: 0 = exact per-cell gather
+    # (k_adv3d semantics, TPU-gather-bound); K >= 1 = dense shift form,
+    # exact for backtrace displacements <= K cells (farther backtraces are
+    # capped at K) but ~10x faster on TPU — see _advect_dense
+    advect_k: int = 0
     dtype: str = "float32"
 
     def validate(self):
         self._require(self.n >= 8, "n must be >= 8")
         self._require(self.jacobi_iters > 0, "jacobi_iters must be positive")
+        self._require(0 <= self.advect_k <= 8, "advect_k must be in [0, 8]")
 
 
 class Stam3DState(NamedTuple):
@@ -134,9 +140,59 @@ def _diffuse(cfg, x, x0, coeff):
     return _lin_solve(cfg, x, x0, a, 1.0 + 6.0 * a)
 
 
+def _advect_dense(cfg, q0, u, v, w):
+    """Dense-shift trilinear advection: with the backtrace displacement
+    capped to +-K cells, the interpolation weight of source offset o is
+    the hat function max(0, 1 - |x - (I+o)|), nonzero only for the two
+    offsets trilinear uses — so the sum over the (2K+2)^3 static-shift
+    neighborhood reproduces the gather path exactly whenever |dt*u| <= K.
+    Replaces 8 per-cell gathers (~40-90 M elem/s on TPU) with fused
+    VPU shift-multiply-adds."""
+    n = cfg.n
+    K = cfg.advect_k
+    dt_ = cfg.dt
+    idx = jnp.arange(1, n + 1, dtype=q0.dtype)
+    I = idx[None, None, :]
+    J = idx[None, :, None]
+    Kz = idx[:, None, None]
+
+    def backtrace(base, vel):
+        x = jnp.clip(base - dt_ * _interior(vel), 0.5, n + 0.5)
+        return base + jnp.clip(x - base, -K, K)
+
+    x = backtrace(I, u)
+    y = backtrace(J, v)
+    z = backtrace(Kz, w)
+
+    # per-axis hat weights for each offset; broadcast to (n, n, n) lazily
+    def hat(pos, base, o):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(pos - (base + o)))
+
+    offs = list(range(-K, K + 2))
+    wx = [hat(x, I, o) for o in offs]
+    wy = [hat(y, J, o) for o in offs]
+    wz = [hat(z, Kz, o) for o in offs]
+
+    qp = jnp.pad(q0, K, mode="edge")  # values at capped range, weight 0
+    acc = jnp.zeros((n, n, n), q0.dtype)
+    for iz, oz in enumerate(offs):
+        for iy, oy in enumerate(offs):
+            wzy = wz[iz] * wy[iy]
+            for ix, ox in enumerate(offs):
+                sl = qp[
+                    1 + K + oz: 1 + K + oz + n,
+                    1 + K + oy: 1 + K + oy + n,
+                    1 + K + ox: 1 + K + ox + n,
+                ]
+                acc = acc + (wzy * wx[ix]) * sl
+    return _set_interior(jnp.zeros_like(q0) + q0, acc)
+
+
 def _advect(cfg, q0, u, v, w):
     """Trilinear semi-Lagrangian backtrace (k_adv3d, js_cuda3d.cu:192-237).
     Returns a full array with the interior replaced (ring preserved)."""
+    if cfg.advect_k > 0:
+        return _advect_dense(cfg, q0, u, v, w)
     n = cfg.n
     dt_ = cfg.dt
     idx = jnp.arange(1, n + 1, dtype=q0.dtype)

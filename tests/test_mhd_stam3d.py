@@ -123,3 +123,40 @@ def test_stam2d_cpu_reference_runs():
     assert np.isfinite(sim.d).all()
     assert np.isfinite(sim.u).all()
     assert not np.allclose(sim.d, d0)
+
+
+def test_stam3d_dense_advection_matches_gather_within_cap():
+    """_advect_dense reproduces the gather path exactly (to f32
+    reassociation) whenever backtrace displacements stay within K cells."""
+    from dataclasses import replace
+
+    from fluidsims_tpu.solvers import stam3d as s3
+
+    cfg_g = s3.Stam3DConfig(n=20, advect_k=0)
+    cfg_d = replace(cfg_g, advect_k=2)
+    rng = np.random.default_rng(0)
+    q0 = jnp.asarray(rng.normal(size=(22, 22, 22)), jnp.float32)
+    u = jnp.clip(jnp.asarray(rng.normal(size=(22, 22, 22)), jnp.float32)
+                 * 1.5, -1.9, 1.9)
+    v = jnp.roll(u, 3, 0)
+    w = jnp.roll(u, 5, 1)
+    a_g = np.asarray(s3._advect(cfg_g, q0, u, v, w))
+    a_d = np.asarray(s3._advect(cfg_d, q0, u, v, w))
+    np.testing.assert_allclose(a_d, a_g, atol=2e-6)
+
+    # capped case stays finite and within the data range (convex weights)
+    u2, v2, w2 = u * 5, v * 5, w * 5
+    a_c = np.asarray(s3._advect(cfg_d, q0, u2, v2, w2))
+    assert np.isfinite(a_c).all()
+    assert a_c.max() <= float(q0.max()) + 1e-5
+    assert a_c.min() >= float(q0.min()) - 1e-5
+
+
+def test_stam3d_dense_advection_full_step():
+    from fluidsims_tpu.solvers import stam3d as s3
+
+    cfg = s3.Stam3DConfig(n=16, advect_k=2)
+    s = s3.init(cfg)
+    out = jax.jit(lambda st: s3.run(cfg, st, 5))(s)
+    assert np.isfinite(np.asarray(out.d)).all()
+    assert np.isfinite(np.asarray(out.u)).all()
