@@ -203,15 +203,20 @@ def _rusanov_faces(cfg, phi_u, phi_v, axis: int):
     return F_u, F_v
 
 
-def step(cfg: BurgersConfig, s: BurgersState) -> BurgersState:
+def step(cfg: BurgersConfig, s: BurgersState,
+         wavespeed_reduce=None) -> BurgersState:
     """One τ-clock step: CFL -> Rusanov fluxes -> convective update ->
-    K viscosity substeps (tau_burgers.cu do_step :677-718)."""
+    K viscosity substeps (tau_burgers.cu do_step :677-718).
+    `wavespeed_reduce` (e.g. lax.pmax over a mesh axis) extends the CFL
+    max across devices for the sharded path."""
     one_d = cfg.colehopf
     u = _decode(cfg, s.phi_u)
     v = _decode(cfg, s.phi_v)
 
     inv_dy = 0.0 if (one_d or cfg.ny <= 1) else 1.0 / cfg.dy
     smax = jnp.max(jnp.abs(u) / cfg.dx + jnp.abs(v) * inv_dy)
+    if wavespeed_reduce is not None:
+        smax = wavespeed_reduce(smax)
     smax = jnp.maximum(smax, 1e-12)
     dt = jnp.minimum(s.t * cfg.dtau, cfg.cfl / smax)
 

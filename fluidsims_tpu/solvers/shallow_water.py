@@ -137,11 +137,16 @@ def _hll(hL, uL, vL, hR, uR, vR, g, axis):
     return tuple(out)
 
 
-def step(cfg: ShallowWaterConfig, s: ShallowWaterState) -> ShallowWaterState:
+def step(cfg: ShallowWaterConfig, s: ShallowWaterState,
+         wavespeed_reduce=None) -> ShallowWaterState:
+    """`wavespeed_reduce` (e.g. lax.pmax over a mesh axis) extends the CFL
+    max across devices for the sharded path."""
     h = jnp.exp(s.sigma)
     c = jnp.sqrt(cfg.g * h)
-    cmax = jnp.maximum(jnp.max(jnp.maximum(jnp.abs(s.u) + c, jnp.abs(s.v) + c)),
-                       1e-12)
+    cmax = jnp.max(jnp.maximum(jnp.abs(s.u) + c, jnp.abs(s.v) + c))
+    if wavespeed_reduce is not None:
+        cmax = wavespeed_reduce(cmax)
+    cmax = jnp.maximum(cmax, 1e-12)
     dt = jnp.minimum(s.t * cfg.dtau, cfg.cfl * min(cfg.dx, cfg.dy) / cmax)
 
     # x faces between i and i+1 (stored at i)

@@ -63,3 +63,45 @@ def test_lbm_sharded_matches_dense():
     f, _ = run(shard_arrays((s.f, s.solid.astype(s.f.dtype)), mesh))
     np.testing.assert_allclose(np.asarray(f), np.asarray(dense.f),
                                rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_burgers_sharded_matches_dense(n_dev):
+    from fluidsims_tpu.parallel.tau_sharded import (
+        make_sharded_burgers_run, shard_burgers)
+    from fluidsims_tpu.solvers import burgers as bg
+
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    for muscl in (False, True):
+        cfg = bg.BurgersConfig(nx=64, ny=32, muscl=muscl, visc_substeps=2)
+        s = bg.init(cfg)
+        dense = bg.run(cfg, s, N_STEPS)
+        run = make_sharded_burgers_run(cfg, make_mesh_1d(n_dev), N_STEPS)
+        out = run(shard_burgers(s, make_mesh_1d(n_dev)))
+        np.testing.assert_array_equal(np.asarray(out.phi_u),
+                                      np.asarray(dense.phi_u),
+                                      err_msg=f"muscl={muscl}")
+        np.testing.assert_array_equal(np.asarray(out.phi_v),
+                                      np.asarray(dense.phi_v))
+        np.testing.assert_allclose(float(out.t), float(dense.t), rtol=1e-12)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_shallow_water_sharded_matches_dense(n_dev):
+    from fluidsims_tpu.parallel.tau_sharded import (
+        make_sharded_shallow_water_run, shard_shallow_water)
+    from fluidsims_tpu.solvers import shallow_water as sw
+
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    cfg = sw.ShallowWaterConfig(nx=64, ny=32)
+    s = sw.init(cfg)
+    dense = sw.run(cfg, s, N_STEPS)
+    run = make_sharded_shallow_water_run(cfg, make_mesh_1d(n_dev), N_STEPS)
+    out = run(shard_shallow_water(s, make_mesh_1d(n_dev)))
+    for name in ("sigma", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(getattr(out, name)),
+                                      np.asarray(getattr(dense, name)),
+                                      err_msg=name)
+    np.testing.assert_allclose(float(out.t), float(dense.t), rtol=1e-12)
