@@ -224,42 +224,54 @@ def init(cfg: MHDConfig) -> MHDState:
     return MHDState(U=prim_to_cons(q, g), t=jnp.asarray(0.0, dt))
 
 
-def step(cfg: MHDConfig, s: MHDState) -> MHDState:
+def step(cfg: MHDConfig, s: MHDState, wavespeed_reduce=None,
+         face_masks=None, dxdy=None) -> MHDState:
+    """Sharding hooks (all default to the dense single-device behavior):
+    `wavespeed_reduce` extends the dt/ch max across devices (lax.pmax);
+    `face_masks=(mx, my)` overrides the interior face-band masks when the
+    local slab's global column range differs from [0, nx); `dxdy` fixes the
+    physical spacing when cfg.nx is a local (extended) width."""
     U = s.U
     g = cfg.gamma
     nx, ny = cfg.nx, cfg.ny
-    dx, dy = 1.0 / nx, 1.0 / ny
+    dx, dy = dxdy if dxdy is not None else (1.0 / nx, 1.0 / ny)
 
     q = cons_to_prim(U, g)
-    maxs = jnp.maximum(
-        jnp.max(
-            jnp.hypot(q.u, q.v)
-            + jnp.maximum(fast_speed(q, g, True), fast_speed(q, g, False))
-        ),
-        1e-6,
+    maxs = jnp.max(
+        jnp.hypot(q.u, q.v)
+        + jnp.maximum(fast_speed(q, g, True), fast_speed(q, g, False))
     )
+    if wavespeed_reduce is not None:
+        maxs = wavespeed_reduce(maxs)
+    maxs = jnp.maximum(maxs, 1e-6)
     ch = maxs
     dt = cfg.cfl * min(dx, dy) / jnp.maximum(maxs + ch, 1e-6)
 
-    # x faces: flux between cells x and x+1, computed for x in [1, nx-3],
-    # y in [1, ny-2] (tau_mhd.c:164-167)
+    if face_masks is None:
+        # x faces: flux between cells x and x+1, computed for x in
+        # [1, nx-3], y in [1, ny-2] (tau_mhd.c:164-167)
+        mx_face = np.zeros((ny, nx), bool)
+        mx_face[1:ny - 1, 1:nx - 2] = True
+        my_face = np.zeros((ny, nx), bool)
+        my_face[1:ny - 2, 1:nx - 1] = True
+        mx_face = jnp.asarray(mx_face)
+        my_face = jnp.asarray(my_face)
+    else:
+        mx_face, my_face = face_masks
+
     Sx = _slopes(U, 0, 1)
     qL = _map(lambda u_, sl: u_ + 0.5 * sl, U, Sx)
     qR_all = _map(lambda u_, sl: u_ - 0.5 * sl, U, Sx)
     qR = ConsM(*(shift_clamped(f, 0, 1) for f in qR_all))
     Fx = hlld_glm_flux(qL, qR, g, ch, True, cfg.stable_hll)
-    mx_face = np.zeros((ny, nx), bool)
-    mx_face[1:ny - 1, 1:nx - 2] = True
-    Fx = _map(lambda f: jnp.where(jnp.asarray(mx_face), f, 0.0), Fx)
+    Fx = _map(lambda f: jnp.where(mx_face, f, 0.0), Fx)
 
     Sy = _slopes(U, 1, 0)
     qB = _map(lambda u_, sl: u_ + 0.5 * sl, U, Sy)
     qT_all = _map(lambda u_, sl: u_ - 0.5 * sl, U, Sy)
     qT = ConsM(*(shift_clamped(f, 1, 0) for f in qT_all))
     Fy = hlld_glm_flux(qB, qT, g, ch, False, cfg.stable_hll)
-    my_face = np.zeros((ny, nx), bool)
-    my_face[1:ny - 2, 1:nx - 1] = True
-    Fy = _map(lambda f: jnp.where(jnp.asarray(my_face), f, 0.0), Fy)
+    Fy = _map(lambda f: jnp.where(my_face, f, 0.0), Fy)
 
     # conservative pair update: cell c gets -(Fx[c] - Fx[c-1])*dt/dx etc.
     def upd(u_, fx, fy):

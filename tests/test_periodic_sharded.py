@@ -105,3 +105,23 @@ def test_shallow_water_sharded_matches_dense(n_dev):
                                       np.asarray(getattr(dense, name)),
                                       err_msg=name)
     np.testing.assert_allclose(float(out.t), float(dense.t), rtol=1e-12)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_mhd_sharded_matches_dense(n_dev):
+    from fluidsims_tpu.parallel import mhd_sharded as msh
+    from fluidsims_tpu.solvers import mhd
+
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    # stable flux + orszag-tang (periodic-style IC on the clamped domain)
+    cfg = mhd.MHDConfig(nx=64, ny=44, problem="orszag-tang", stable_hll=True)
+    s = mhd.init(cfg)
+    dense = mhd.run(cfg, s, N_STEPS)
+    mesh = make_mesh_1d(n_dev)
+    out = msh.make_sharded_run(cfg, mesh, N_STEPS)(msh.shard_state(s, mesh))
+    for name in mhd.ConsM._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out.U, name)),
+            np.asarray(getattr(dense.U, name)), err_msg=name)
+    np.testing.assert_allclose(float(out.t), float(dense.t), rtol=1e-12)
