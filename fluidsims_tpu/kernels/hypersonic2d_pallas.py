@@ -30,7 +30,12 @@ grid runs as 4 tiles of 2048.
 
 (An in-kernel-BC + thin-halo-slab variant that would cut input traffic to
 ~(band+16)/band was tried and reliably crashes this environment's remote
-Mosaic compile helper; revisit when the toolchain updates.)
+Mosaic compile helper; revisit when the toolchain updates.  A single-read
+banded layout — halo rows materialized host-side via a row-take, blocks
+read once instead of three times — was measured SLOWER than the triple
+read at both 2048^2 and 8192x1024 (197 vs 205, 94 vs 98 steps/s): the
+kernel is compute/pipeline-bound, and the extra host-side materialization
+pass costs more than the saved reads.)
 """
 
 from __future__ import annotations
