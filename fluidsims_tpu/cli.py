@@ -40,9 +40,35 @@ def _bench_report(name, steps, wall, cells=None):
     print(line)
 
 
-def _run_headless(run_jit, state, steps, name, cells=None, chunk=50):
+def _run_headless(run_jit, state, steps, name, cells=None, chunk=50,
+                  args=None, frame_fn=None):
+    """Drive `steps` physics steps.  With --render --stride N (and a
+    frame_fn), renders a terminal frame every N steps — the live-animation
+    loop of the reference's interactive apps; otherwise runs chunked
+    benchmark mode and reports throughput."""
     import jax
     import numpy as np
+
+    live = (args is not None and frame_fn is not None and args.render
+            and not args.headless and args.stride > 0)
+    if live:
+        out = state
+        done = 0
+        t0 = time.perf_counter()
+        first = True
+        while done < steps:
+            n = min(args.stride, steps - done)
+            out = run_jit(out, n)
+            done += n
+            frame = frame_fn(out)
+            if not first:
+                sys.stdout.write(f"\x1b[{frame.count(chr(10)) + 2}A")
+            first = False
+            print(frame)
+            print(f"[{name}] step {done}/{steps}", flush=True)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        _bench_report(name, done, time.perf_counter() - t0, cells)
+        return out
 
     reps, rem = divmod(steps, chunk)
     warm = run_jit(state, chunk)
@@ -80,13 +106,15 @@ def cmd_gray_scott(args):
     )
     s = gs.init(cfg)
     run = jax.jit(lambda st, n: gs.run(cfg, st, n), static_argnums=1)
+
+    def frame(st):
+        v = np.asarray(st.v)
+        return render_halfblocks(v) if args.halfblocks else render_ramp(v)
+
     out = _run_headless(run, s, args.steps, "gray-scott",
-                        cells=cfg.nx * cfg.ny)
-    v = np.asarray(out.v)
-    if args.halfblocks:
-        _maybe_render(args, render_halfblocks(v))
-    else:
-        _maybe_render(args, render_ramp(v))
+                        cells=cfg.nx * cfg.ny, args=args, frame_fn=frame)
+    if not args.stride:
+        _maybe_render(args, frame(out))
 
 
 def cmd_burgers(args):
@@ -101,17 +129,22 @@ def cmd_burgers(args):
     )
     s = bg.init(cfg)
     run = jax.jit(lambda st, n: bg.run(cfg, st, n), static_argnums=1)
-    out = _run_headless(run, s, args.steps, "burgers", cells=cfg.nx * cfg.ny)
-    if cfg.colehopf:
-        print(f"cole-hopf rel L2 error: {bg.cole_hopf_rel_l2(cfg, out):.3e}")
-    if args.render:
+
+    def frame(st):
         import numpy as np
 
         from .render.terminal import render_ramp
 
-        u, v = bg.velocities(cfg, out)
+        u, v = bg.velocities(cfg, st)
         speed = np.hypot(np.asarray(u), np.asarray(v))
-        _maybe_render(args, render_ramp(speed, dither=True))
+        return render_ramp(speed, dither=True)
+
+    out = _run_headless(run, s, args.steps, "burgers", cells=cfg.nx * cfg.ny,
+                        args=args, frame_fn=frame)
+    if cfg.colehopf:
+        print(f"cole-hopf rel L2 error: {bg.cole_hopf_rel_l2(cfg, out):.3e}")
+    if args.render and not args.stride:
+        _maybe_render(args, frame(out))
 
 
 def cmd_shallow_water(args):
@@ -127,10 +160,15 @@ def cmd_shallow_water(args):
     )
     s = sw.init(cfg)
     run = jax.jit(lambda st, n: sw.run(cfg, st, n), static_argnums=1)
+
+    def frame(st):
+        return render_ramp(autocontrast(np.asarray(st.sigma)),
+                           normalize=False)
+
     out = _run_headless(run, s, args.steps, "shallow-water",
-                        cells=cfg.nx * cfg.ny)
-    sigma = np.asarray(out.sigma)
-    _maybe_render(args, render_ramp(autocontrast(sigma), normalize=False))
+                        cells=cfg.nx * cfg.ny, args=args, frame_fn=frame)
+    if not args.stride:
+        _maybe_render(args, frame(out))
 
 
 def cmd_lbm(args):
@@ -147,9 +185,15 @@ def cmd_lbm(args):
     )
     s = lbm.init(cfg)
     run = jax.jit(lambda st, n: lbm.run(cfg, st, n), static_argnums=1)
-    out = _run_headless(run, s, args.steps, "lbm", cells=cfg.nx * cfg.ny)
-    sp = np.asarray(lbm.speed_field(cfg, out))
-    _maybe_render(args, render_ramp(np.maximum(sp, 0.0)))
+
+    def frame(st):
+        sp = np.asarray(lbm.speed_field(cfg, st))
+        return render_ramp(np.maximum(sp, 0.0))
+
+    out = _run_headless(run, s, args.steps, "lbm", cells=cfg.nx * cfg.ny,
+                        args=args, frame_fn=frame)
+    if not args.stride:
+        _maybe_render(args, frame(out))
 
 
 def cmd_hypersonic2d(args):
@@ -185,14 +229,18 @@ def cmd_hypersonic2d(args):
             step = None
     run = step if step is not None else jax.jit(
         lambda st, n: h2.run(cfg, st, n), static_argnums=1)
-    out = _run_headless(run, s, args.steps, "hypersonic2d",
-                        cells=cfg.nx * cfg.ny)
-    print(f"t = {float(out.t):.6f}")
-    if args.render:
+
+    def frame(st):
         assert args.view in VIEW_MODES, f"--view must be one of {VIEW_MODES}"
-        v = render_value(cfg, out, args.view)
-        t = np.asarray(normalize_masked(v, out.mask))
-        _maybe_render(args, render_ramp(t, normalize=False))
+        v = render_value(cfg, st, args.view)
+        t = np.asarray(normalize_masked(v, st.mask))
+        return render_ramp(t, normalize=False)
+
+    out = _run_headless(run, s, args.steps, "hypersonic2d",
+                        cells=cfg.nx * cfg.ny, args=args, frame_fn=frame)
+    print(f"t = {float(out.t):.6f}")
+    if args.render and not args.stride:
+        _maybe_render(args, frame(out))
 
 
 def cmd_hypersonic3d(args):
@@ -205,14 +253,19 @@ def cmd_hypersonic3d(args):
     cfg = h3.default_config(args.n, dtype=args.dtype, outflow=args.outflow)
     s = h3.init(cfg)
     run = jax.jit(lambda st, n: h3.run(cfg, st, n), static_argnums=1)
+
+    def frame(st):
+        vol = np.asarray(h3.vis_field(cfg, st, args.view))
+        return render_ramp(vol[cfg.nz // 2])
+
     out = _run_headless(run, s, args.steps, "hypersonic3d",
-                        cells=cfg.nx * cfg.ny * cfg.nz)
+                        cells=cfg.nx * cfg.ny * cfg.nz, args=args,
+                        frame_fn=frame)
     refl = float(h3.outflow_reflection_metric(cfg, out))
     print(f"t = {float(out.t):.6f} dtau = {float(out.dtau):.3e} "
           f"refl_dp = {refl:.3e}")
-    if args.render:
-        vol = np.asarray(h3.vis_field(cfg, out, args.view))
-        _maybe_render(args, render_ramp(vol[cfg.nz // 2]))
+    if args.render and not args.stride:
+        _maybe_render(args, frame(out))
 
 
 def cmd_th3cs(args):
@@ -236,10 +289,15 @@ def cmd_mhd(args):
                         stable_hll=args.stable_hll, dtype=args.dtype)
     s = mhd.init(cfg)
     run = jax.jit(lambda st, n: mhd.run(cfg, st, n), static_argnums=1)
-    out = _run_headless(run, s, args.steps, "mhd", cells=cfg.nx * cfg.ny)
+
+    def frame(st):
+        return render_ramp(np.asarray(mhd.view_field(cfg, st, args.view)))
+
+    out = _run_headless(run, s, args.steps, "mhd", cells=cfg.nx * cfg.ny,
+                        args=args, frame_fn=frame)
     print(f"t = {float(out.t):.6f}")
-    v = np.asarray(mhd.view_field(cfg, out, args.view))
-    _maybe_render(args, render_ramp(v))
+    if not args.stride:
+        _maybe_render(args, frame(out))
 
 
 def cmd_stam2d(args):
@@ -252,9 +310,14 @@ def cmd_stam2d(args):
     cfg = stam2d.Stam2DConfig(n=args.n, dtype=args.dtype)
     s = stam2d.init(cfg)
     run = jax.jit(lambda st, n: stam2d.run(cfg, st, n), static_argnums=1)
-    out = _run_headless(run, s, args.steps, "stam2d", cells=cfg.n * cfg.n)
-    _maybe_render(args, render_ramp(np.clip(np.asarray(out.d), 0, 1),
-                                    normalize=False))
+
+    def frame(st):
+        return render_ramp(np.clip(np.asarray(st.d), 0, 1), normalize=False)
+
+    out = _run_headless(run, s, args.steps, "stam2d", cells=cfg.n * cfg.n,
+                        args=args, frame_fn=frame)
+    if not args.stride:
+        _maybe_render(args, frame(out))
 
 
 def cmd_stam3d(args):
@@ -267,16 +330,20 @@ def cmd_stam3d(args):
                               advect_k=args.advect_k)
     s = stam3d.init(cfg)
     run = jax.jit(lambda st, n: stam3d.run(cfg, st, n), static_argnums=1)
-    out = _run_headless(run, s, args.steps, "stam3d",
-                        cells=cfg.n**3)
-    if args.render:
-        img = np.asarray(stam3d.iso_render(cfg, out, W=args.cols,
+
+    def frame(st):
+        img = np.asarray(stam3d.iso_render(cfg, st, W=args.cols,
                                            H=args.rows))
         from .render.terminal import RAMP_BLOCKS
 
         t = img / max(img.max(), 1)
         idx = np.clip((t * 4 + 0.5).astype(int), 0, 4)
-        print("\n".join("".join(RAMP_BLOCKS[k] for k in row) for row in idx))
+        return "\n".join("".join(RAMP_BLOCKS[k] for k in row) for row in idx)
+
+    out = _run_headless(run, s, args.steps, "stam3d", cells=cfg.n**3,
+                        args=args, frame_fn=frame)
+    if args.render and not args.stride:
+        print(frame(out))
 
 
 def cmd_sph(args):
@@ -290,18 +357,22 @@ def cmd_sph(args):
                         rain=not args.no_rain, dtype=args.dtype)
     s = sph.init(cfg)
     run = jax.jit(lambda st, n: sph.run(cfg, st, n), static_argnums=1)
-    out = _run_headless(run, s, args.steps, "sph")
-    print(f"t = {float(out.t):.4f} tau = {float(out.tau):.4f}  "
-          f"({cfg.n * args.steps / 1e6:.2f}M particle-steps)")
-    if args.render:
-        grid = np.asarray(sph.rasterize_counts(cfg, out.pos, W=args.cols,
+
+    def frame(st):
+        grid = np.asarray(sph.rasterize_counts(cfg, st.pos, W=args.cols,
                                                H=args.rows))
         top = grid[0::2][:args.rows]
         bot = grid[1::2][:args.rows]
         chars = np.where((top > 0) & (bot > 0), "█",
                          np.where(top > 0, "▀",
                                   np.where(bot > 0, "▄", " ")))
-        print("\n".join("".join(r) for r in chars))
+        return "\n".join("".join(r) for r in chars)
+
+    out = _run_headless(run, s, args.steps, "sph", args=args, frame_fn=frame)
+    print(f"t = {float(out.t):.4f} tau = {float(out.tau):.4f}  "
+          f"({cfg.n * args.steps / 1e6:.2f}M particle-steps)")
+    if args.render and not args.stride:
+        print(frame(out))
 
 
 def cmd_flip(args):
@@ -317,11 +388,17 @@ def cmd_flip(args):
                             apic=args.apic, dtype=args.dtype)
     s = fa.init(cfg)
     run = jax.jit(lambda st, n: fa.run(cfg, st, n), static_argnums=1)
-    out = _run_headless(run, s, args.steps, "flip-apic")
+
+    def frame(st):
+        return render_ramp(np.asarray(st.density)[::-1].astype(float))
+
+    out = _run_headless(run, s, args.steps, "flip-apic", args=args,
+                        frame_fn=frame)
     dens = np.asarray(out.density)
     occupied = int((dens > 0).sum())
     print(f"occupied={occupied} peak_cell={int(dens.max())}")
-    _maybe_render(args, render_ramp(dens[::-1].astype(float)))
+    if not args.stride:
+        _maybe_render(args, frame(out))
 
 
 def cmd_mpm(args):
@@ -334,9 +411,9 @@ def cmd_mpm(args):
                         material=args.material, dtype=args.dtype)
     s = mpm.init(cfg)
     run = jax.jit(lambda st, n: mpm.run(cfg, st, n), static_argnums=1)
-    out = _run_headless(run, s, args.steps, "mpm")
-    if args.render:
-        pos = np.asarray(out.pos)
+
+    def frame(st):
+        pos = np.asarray(st.pos)
         Wd, Hd = args.cols, args.rows
         cx = np.clip((pos[:, 0] / cfg.box_x * (Wd - 1)).astype(int), 0, Wd - 1)
         sy = np.clip(((cfg.box_y - pos[:, 1]) / cfg.box_y
@@ -347,7 +424,11 @@ def cmd_mpm(args):
         chars = np.where((top > 0) & (bot > 0), "█",
                          np.where(top > 0, "▀",
                                   np.where(bot > 0, "▄", " ")))
-        print("\n".join("".join(r) for r in chars))
+        return "\n".join("".join(r) for r in chars)
+
+    out = _run_headless(run, s, args.steps, "mpm", args=args, frame_fn=frame)
+    if args.render and not args.stride:
+        print(frame(out))
 
 
 def cmd_hypersonic2d_cpu(args):
