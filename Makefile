@@ -9,6 +9,18 @@ all: native
 
 native:
 	cc -O2 -shared -fPIC native/fourspl.c -o native/libfourspl.so
+	cc -O3 -shared -fPIC native/hypersonic2d_cpu.c \
+		-o native/libhypersonic2d_cpu.so -lm
+	cc -O2 -shared -fPIC native/nbody_bh.c -o native/libnbody_bh.so \
+		-lpthread -lm
+
+# write-baseline / verify-baseline round trip (the reference's `make test`
+# contract, Makefile:39-43)
+regression:
+	$(PY) -m fluidsims_tpu.cli regression --nx 512 --ny 256 --steps 24 \
+		--baseline /tmp/fst_baseline.snap --write-baseline
+	$(PY) -m fluidsims_tpu.cli regression --nx 512 --ny 256 --steps 24 \
+		--baseline /tmp/fst_baseline.snap
 
 test:
 	$(PY) -m pytest tests/ -q
