@@ -595,23 +595,16 @@ def _mirror(q: PrimT, axis: int) -> PrimT:
                  ev=q.ev)
 
 
-def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
-         solid_pad=None, wavespeed_reduce=None) -> Hypersonic3DState:
-    """One fused step. `solid_pad` (halo-3 extended solid mask) and
-    `wavespeed_reduce` (cross-device lax.pmax) are hooks for the sharded
-    multi-chip path (parallel/hypersonic3d_sharded.py)."""
-    dtype = s.xi.dtype
-    solid = s.solid
-    if solid_pad is None:
-        solid_pad = jnp.asarray(build_solid(cfg, pad=HALO))
-
-    # τ advance (pre-step, :1680-1683)
-    t = s.t * jnp.exp(s.dtau)
-    dt = t * s.dtau
-    inflow_gain = jnp.clip(t / 0.02, 0.0, 1.0)
-
-    q = _decode(cfg, s.xi, s.phix, s.phiy, s.phiz, s.lam, s.zet)
-    qp = _padded_prims(cfg, q, solid_pad)
+def step_core_padded(cfg: Hypersonic3DConfig, qp: PrimT, solid_pad,
+                     dt, inflow_gain, x0: int = 0) -> PrimT:
+    """The full cell update on a halo-extended window of BC-resolved
+    primitives: WENO faces -> HLLC with wall mirroring -> conservative
+    update -> repair -> Landau-Teller -> sponges.  Window-agnostic along
+    every axis (the z-banded Pallas kernel calls it on z-slices); `x0` is
+    the global x index of the window's first interior column (the sponge
+    ramps are functions of global x).  Shared by the XLA and Pallas
+    paths."""
+    dtype = qp.r.dtype
 
     q0_cell = PrimT(*(f[HALO:-HALO, HALO:-HALO, HALO:-HALO] for f in qp))
 
@@ -679,11 +672,14 @@ def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
     relax = dt / max(cfg.tau_vib, TAU_VIB_MIN)
     q1 = q1._replace(ev=jnp.maximum(q1.ev + (ev_eq - q1.ev) * relax, 0.0))
 
-    # sponge layers (:1295-1344)
-    xs = np.arange(cfg.nx)
+    # sponge layers (:1295-1344); iota-based so the same code lowers inside
+    # Pallas kernels (captured np constant arrays are rejected there)
+    # int iota + cast: Mosaic's tpu.iota only supports integer results
+    xs = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, q1.r.shape[2]), 2).astype(dtype) + x0
     if cfg.sponge_n > 0:
-        sramp = np.clip(1.0 - xs / cfg.sponge_n, 0.0, 1.0)
-        k_in = jnp.asarray(cfg.sponge_strength * sramp**2, dtype)[None, None, :]
+        sramp = jnp.clip(1.0 - xs / cfg.sponge_n, 0.0, 1.0)
+        k_in = cfg.sponge_strength * sramp**2
         tgt_u = inflow_gain * cfg.inflow_u
         tgt_v = inflow_gain * cfg.inflow_v
         tgt_w = inflow_gain * cfg.inflow_w
@@ -703,10 +699,8 @@ def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
         )
     if cfg.sponge_out_n > 0:
         xo = xs - (cfg.nx - cfg.sponge_out_n)
-        oramp = np.clip(xo / cfg.sponge_out_n, 0.0, 1.0) * (xo >= 0)
-        k_out = jnp.asarray(cfg.sponge_out_strength * oramp**2, dtype)[
-            None, None, :
-        ]
+        oramp = jnp.clip(xo / cfg.sponge_out_n, 0.0, 1.0) * (xo >= 0)
+        k_out = cfg.sponge_out_strength * oramp**2
         tgtT = max(cfg.inflow_p, RHO_P_FLOOR) / (
             max(cfg.inflow_r, RHO_P_FLOOR) * cfg.R
         )
@@ -723,6 +717,36 @@ def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
                 RHO_P_FLOOR),
             ev=jnp.maximum(q1.ev + k_out * (tgt_ev - q1.ev), 0.0),
         )
+
+    return q1
+
+
+def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
+         solid_pad=None, wavespeed_reduce=None,
+         core=None) -> Hypersonic3DState:
+    """One fused step. `solid_pad` (halo-3 extended solid mask) and
+    `wavespeed_reduce` (cross-device lax.pmax) are hooks for the sharded
+    multi-chip path (parallel/hypersonic3d_sharded.py); `core` overrides
+    the cell-update engine (the fused Pallas kernel,
+    kernels/hypersonic3d_pallas.py) and must have step_core_padded's
+    (qp, solid_pad, dt, inflow_gain) -> q1 signature."""
+    dtype = s.xi.dtype
+    solid = s.solid
+    if solid_pad is None:
+        solid_pad = jnp.asarray(build_solid(cfg, pad=HALO))
+
+    # τ advance (pre-step, :1680-1683)
+    t = s.t * jnp.exp(s.dtau)
+    dt = t * s.dtau
+    inflow_gain = jnp.clip(t / 0.02, 0.0, 1.0)
+
+    q = _decode(cfg, s.xi, s.phix, s.phiy, s.phiz, s.lam, s.zet)
+    qp = _padded_prims(cfg, q, solid_pad)
+
+    if core is None:
+        q1 = step_core_padded(cfg, qp, solid_pad, dt, inflow_gain)
+    else:
+        q1 = core(qp, solid_pad, dt, inflow_gain)
 
     # max wavespeed over fluid cells (atomicMaxFloat analog, :1345-1351)
     a1 = soundspeed(cfg, q1)

@@ -88,3 +88,35 @@ def test_lbm_pallas_matches_xla():
         b = lbm.step(cfg, b)
     np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_hypersonic3d_pallas_matches_xla():
+    from fluidsims_tpu.kernels import hypersonic3d_pallas as hp3
+    from fluidsims_tpu.solvers import hypersonic3d as h3
+
+    cfg = h3.default_config(16, dtype="float64")
+    s = h3.init(cfg)
+    step_p = hp3.make_step_pallas(cfg, band=4, interpret=True)
+    a, b = s, s
+    for _ in range(3):
+        a = step_p(a)
+        b = h3.step(cfg, b)
+    for name in ("xi", "phix", "phiy", "phiz", "lam", "zet"):
+        fa = np.asarray(getattr(a, name))
+        fb = np.asarray(getattr(b, name))
+        assert np.abs(fa - fb).max() < 1e-12, name
+    np.testing.assert_allclose(float(a.t), float(b.t), rtol=1e-12)
+    np.testing.assert_allclose(float(a.dtau), float(b.dtau), rtol=1e-12)
+
+
+def test_hypersonic3d_pallas_band_validation():
+    from fluidsims_tpu.kernels import hypersonic3d_pallas as hp3
+    from fluidsims_tpu.solvers import hypersonic3d as h3
+
+    import pytest
+
+    cfg = h3.default_config(16)
+    with pytest.raises(ValueError):
+        hp3.make_step_pallas(cfg, band=5)   # does not divide nz
+    with pytest.raises(ValueError):
+        hp3.make_step_pallas(cfg, band=2)   # < HALO
