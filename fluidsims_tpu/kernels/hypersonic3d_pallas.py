@@ -18,12 +18,11 @@ tests/test_pallas_kernels.py).
 The state encode/decode, BC-resolved padding, wavespeed max, and the
 dtau feedback stay in XLA (elementwise / global-reduction work).
 
-Status: at 64^3 f32, band=4/tile_y=16 runs 283 steps/s, bit-identical to
-the XLA path's 255 steps/s — a real but modest 1.1x (the 3-D step is far
-more compute-dense per byte than the 2-D one, so fusing buys less).
-Kept because it is verified exact, beats XLA, and is the direct TPU
-analog of the reference's 3-D shared-memory tile.  Wider y tiles hit the
-Mosaic helper's complexity limit (see pick_tile_y).
+Status: at 64^3 f32 (band=4/tile_y=16), scan-batched 25 steps/dispatch:
+525 steps/s vs 369 for the XLA path — 1.42x, bit-identical results.
+(Unbatched per-step dispatch costs ~0.8 ms through the device tunnel and
+compresses the gap to 283 vs 255; always scan-batch at this grid size.)
+Wider y tiles hit the Mosaic helper's complexity limit (see pick_tile_y).
 """
 
 from __future__ import annotations
