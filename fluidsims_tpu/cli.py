@@ -210,6 +210,11 @@ def cmd_hypersonic2d(args):
         inflow_mach=args.mach, dtype=args.dtype,
     )
     s = h2.init(cfg)
+    if args.load_state:
+        from .core.checkpoint import load_state
+
+        s = load_state(args.load_state, s)
+        print(f"resumed from {args.load_state} (t = {float(s.t):.6f})")
     step = None
     if args.impl in ("pallas", "auto"):
         try:
@@ -239,6 +244,11 @@ def cmd_hypersonic2d(args):
     out = _run_headless(run, s, args.steps, "hypersonic2d",
                         cells=cfg.nx * cfg.ny, args=args, frame_fn=frame)
     print(f"t = {float(out.t):.6f}")
+    if args.save_state:
+        from .core.checkpoint import save_state
+
+        save_state(args.save_state, out)
+        print(f"saved state to {args.save_state}")
     if args.render and not args.stride:
         _maybe_render(args, frame(out))
 
@@ -600,6 +610,10 @@ def build_parser():
                    default="auto",
                    help="step implementation: fused Pallas TPU kernel, "
                         "XLA dataflow, or auto (pallas w/ XLA fallback)")
+    p.add_argument("--save-state", default=None, metavar="FILE.npz",
+                   help="checkpoint the final state (core/checkpoint.py)")
+    p.add_argument("--load-state", default=None, metavar="FILE.npz",
+                   help="resume from a saved checkpoint")
     _common(p, 100)
     p.set_defaults(fn=cmd_hypersonic2d)
 
