@@ -9,9 +9,9 @@ anisotropy of the hypersonic domain, with halo exchange over ICI.
 from __future__ import annotations
 
 import jax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
-__all__ = ["make_mesh_1d", "P"]
+__all__ = ["make_mesh_1d"]
 
 
 def make_mesh_1d(n_devices: int | None = None, axis: str = "x") -> Mesh:

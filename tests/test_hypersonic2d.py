@@ -8,10 +8,8 @@ it to round-off at float64 and to float32 tolerance at f32 (BASELINE.json
 mandate).
 """
 
-import math
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from fluidsims_tpu.solvers import hypersonic2d as h2

@@ -1,7 +1,6 @@
 """Pallas kernel equivalence tests (interpret mode on CPU): the fused
 kernels must reproduce the XLA dataflow paths to float32 round-off."""
 
-import jax
 import numpy as np
 
 from fluidsims_tpu.kernels import gray_scott_pallas as gsp
