@@ -29,12 +29,30 @@ def export_4spl(
     p_size: int = 256,
     use_native: bool = True,
     verbose: bool = False,
+    impl: str = "auto",
 ) -> fourspl.Splat4DVideo:
-    """Run the 3-D solver and export the schlieren volume video."""
+    """Run the 3-D solver and export the schlieren volume video.
+    `impl`: 'pallas' (fused kernel), 'xla', or 'auto' (pallas with XLA
+    fallback)."""
     cfg = cfg or h3.default_config()
     state = h3.init(cfg)
 
-    run_frame = jax.jit(lambda s: h3.run(cfg, s, steps_per_frame))
+    run_frame = None
+    if impl in ("pallas", "auto"):
+        try:
+            from ..core.stepper import scan_steps
+            from ..kernels import hypersonic3d_pallas as hp3
+
+            step_p = hp3.make_step_pallas(cfg)
+            run_frame = jax.jit(
+                lambda s: scan_steps(step_p, s, steps_per_frame))
+            jax.block_until_ready(run_frame(state).xi)
+        except Exception:
+            if impl == "pallas":
+                raise
+            run_frame = None
+    if run_frame is None:
+        run_frame = jax.jit(lambda s: h3.run(cfg, s, steps_per_frame))
     sch = jax.jit(lambda s: h3.vis_field(cfg, s, "schlieren"))
 
     indices = np.empty((frames, cfg.nz, cfg.ny, cfg.nx), np.uint8)
