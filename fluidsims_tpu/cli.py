@@ -29,6 +29,10 @@ def _common(p, steps_default=200):
     p.add_argument("--headless", action="store_true",
                    help="benchmark mode (no rendering)")
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--save-state", default=None, metavar="FILE.npz",
+                   help="checkpoint the final state (core/checkpoint.py)")
+    p.add_argument("--load-state", default=None, metavar="FILE.npz",
+                   help="resume from a saved checkpoint")
 
 
 def _bench_report(name, steps, wall, cells=None):
@@ -49,6 +53,12 @@ def _run_headless(run_jit, state, steps, name, cells=None, chunk=50,
     import jax
     import numpy as np
 
+    if args is not None and getattr(args, "load_state", None):
+        from .core.checkpoint import load_state
+
+        state = load_state(args.load_state, state)
+        print(f"resumed from {args.load_state}")
+
     live = (args is not None and frame_fn is not None and args.render
             and not args.headless and args.stride > 0)
     if live:
@@ -68,7 +78,7 @@ def _run_headless(run_jit, state, steps, name, cells=None, chunk=50,
             print(f"[{name}] step {done}/{steps}", flush=True)
         _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
         _bench_report(name, done, time.perf_counter() - t0, cells)
-        return out
+        return _maybe_save(args, out)
 
     reps, rem = divmod(steps, chunk)
     warm = run_jit(state, chunk)
@@ -84,6 +94,15 @@ def _run_headless(run_jit, state, steps, name, cells=None, chunk=50,
     _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     wall = time.perf_counter() - t0
     _bench_report(name, reps * chunk + rem, wall, cells)
+    return _maybe_save(args, out)
+
+
+def _maybe_save(args, out):
+    if args is not None and getattr(args, "save_state", None):
+        from .core.checkpoint import save_state
+
+        save_state(args.save_state, out)
+        print(f"saved state to {args.save_state}")
     return out
 
 
@@ -210,11 +229,6 @@ def cmd_hypersonic2d(args):
         inflow_mach=args.mach, dtype=args.dtype,
     )
     s = h2.init(cfg)
-    if args.load_state:
-        from .core.checkpoint import load_state
-
-        s = load_state(args.load_state, s)
-        print(f"resumed from {args.load_state} (t = {float(s.t):.6f})")
     step = None
     if args.impl in ("pallas", "auto"):
         try:
@@ -244,11 +258,6 @@ def cmd_hypersonic2d(args):
     out = _run_headless(run, s, args.steps, "hypersonic2d",
                         cells=cfg.nx * cfg.ny, args=args, frame_fn=frame)
     print(f"t = {float(out.t):.6f}")
-    if args.save_state:
-        from .core.checkpoint import save_state
-
-        save_state(args.save_state, out)
-        print(f"saved state to {args.save_state}")
     if args.render and not args.stride:
         _maybe_render(args, frame(out))
 
@@ -610,10 +619,6 @@ def build_parser():
                    default="auto",
                    help="step implementation: fused Pallas TPU kernel, "
                         "XLA dataflow, or auto (pallas w/ XLA fallback)")
-    p.add_argument("--save-state", default=None, metavar="FILE.npz",
-                   help="checkpoint the final state (core/checkpoint.py)")
-    p.add_argument("--load-state", default=None, metavar="FILE.npz",
-                   help="resume from a saved checkpoint")
     _common(p, 100)
     p.set_defaults(fn=cmd_hypersonic2d)
 
