@@ -28,10 +28,12 @@ def _sync(x):
 
 
 def bench_hypersonic(jax, nx, ny, steps, impl):
+    from fluidsims_tpu.core.stepper import scan_steps
     from fluidsims_tpu.solvers import hypersonic2d as h2
 
     cfg = h2.default_config(nx=nx, ny=ny)
     state = h2.init(cfg)
+    chunk = max(1, min(50, steps))
 
     step_fn = None
     used = "xla"
@@ -40,25 +42,30 @@ def bench_hypersonic(jax, nx, ny, steps, impl):
             from fluidsims_tpu.kernels import hypersonic2d_pallas as hp
 
             band = 16 if ny % 16 == 0 else 8
-            cand = jax.jit(hp.make_step_pallas(cfg, band=band))
-            out = cand(state)
-            _sync(out.t)
+            cand = hp.make_step_pallas(cfg, band=band)
+            probe = jax.jit(cand)(state)
+            _sync(probe.t)
             step_fn = cand
             used = "pallas"
         except Exception as e:
             print(f"# pallas kernel unavailable ({str(e)[:120]}); "
                   "falling back to XLA", file=sys.stderr)
     if step_fn is None:
-        step_fn = jax.jit(lambda s: h2.step(cfg, s))
-        _sync(step_fn(state).t)
+        step_fn = lambda s: h2.step(cfg, s)  # noqa: E731
 
+    # chunked lax.scan: per-dispatch tunnel latency (~0.8 ms) otherwise
+    # dominates and underreports device throughput
+    run = jax.jit(lambda s: scan_steps(step_fn, s, chunk))
+    out = run(state)
+    _sync(out.t)
+
+    reps = max(1, steps // chunk)
     t0 = time.perf_counter()
-    out = state
-    for _ in range(steps):
-        out = step_fn(out)
+    for _ in range(reps):
+        out = run(out)
     _sync(out.t)
     wall = time.perf_counter() - t0
-    return steps / wall, used, cfg
+    return reps * chunk / wall, used, cfg
 
 
 def bench_sph(jax, steps=50):

@@ -5,11 +5,13 @@ VMEM: moments, BGK collision, pull-streaming and on-link bounce-back
 (tau_lbm.cu:94-132 semantics via the pull formulation of solvers/lbm.py)
 in a single pass.
 
-Status: measured 219 MLUPS at 2048x1024 vs 270 MLUPS for the XLA dataflow
-path — the triple-block halo trick costs 3x lattice reads, which dominates
-this read-heavy kernel, so the XLA path stays the default.  Kept as the
-basis for a thin-halo revision (and verified bit-identical to the dense
-step).
+Status: the XLA dataflow path measures ~2500 MLUPS at 2048x1024 f32 with
+chained 50-step scans (151 MB moved per step -> ~180 GB/s, i.e. at the
+HBM roofline), so no fused kernel can beat it — the whole update is one
+XLA-fused single-pass op already.  This kernel measures 219 MLUPS
+(triple-block reads) and a single-read banded-layout revision measured
+857 MLUPS; both kept out of the default path.  Verified bit-identical to
+the dense step; retained as the reference Pallas formulation.
 
 The y boundary rows are always solid channel walls (build_solid,
 tau_lbm.cu:84-87), so the out-of-bounds pull case of the dense step can
