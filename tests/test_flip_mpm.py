@@ -4,6 +4,7 @@ momentum conservation), stability, and material behavior."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fluidsims_tpu.solvers import flip_apic as fa
 from fluidsims_tpu.solvers import mpm
@@ -91,3 +92,43 @@ def test_mpm_settles_under_gravity():
     # Jp stays in its clamp range
     Jp = np.asarray(out.Jp)
     assert (Jp >= 0.05).all() and (Jp <= 20.0).all()
+
+
+def test_flip_matches_loop_oracle_f64():
+    """Full-pipeline cross-check vs the per-particle float64 oracle
+    (tests/oracles/flip_apic_oracle.py)."""
+    from tests.oracles.flip_apic_oracle import FlipOracle
+
+    cfg = fa.FlipApicConfig(particles=1024, grid=32, jacobi=12,
+                            dtype="float64")
+    s = fa.init(cfg)
+    orc = FlipOracle(cfg, np.asarray(s.pos), np.asarray(s.vel),
+                     np.asarray(s.affine_x), np.asarray(s.affine_y))
+    step = jax.jit(lambda st: fa.step(cfg, st))
+    for _ in range(5):
+        s = step(s)
+        orc.step()
+    assert np.abs(np.asarray(s.pos) - orc.pos).max() < 1e-12
+    assert np.abs(np.asarray(s.vel) - orc.vel).max() < 1e-12
+    np.testing.assert_array_equal(np.asarray(s.density), orc.density)
+
+
+@pytest.mark.parametrize("material", ["snow", "mud", "sand"])
+def test_mpm_matches_loop_oracle_f64(material):
+    """Full-pipeline cross-check vs the per-particle float64 oracle
+    (tests/oracles/mpm_oracle.py), all three material laws."""
+    from tests.oracles.mpm_oracle import MPMOracle
+
+    cfg = mpm.MPMConfig(n=512, gx=32, gy=32, material=material,
+                        dtype="float64")
+    s = mpm.init(cfg)
+    orc = MPMOracle(cfg, np.asarray(s.pos), np.asarray(s.vel),
+                    np.asarray(s.F), np.asarray(s.Jp))
+    step = jax.jit(lambda st: mpm.step(cfg, st))
+    for _ in range(5):
+        s = step(s)
+        orc.step()
+    assert np.abs(np.asarray(s.pos) - orc.pos).max() < 1e-12
+    assert np.abs(np.asarray(s.vel) - orc.vel).max() < 1e-12
+    assert np.abs(np.asarray(s.F) - orc.F).max() < 1e-12
+    assert np.abs(np.asarray(s.Jp) - orc.Jp).max() < 1e-12
