@@ -134,3 +134,27 @@ def test_split_stepper_matches_step():
     np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(float(a.tau), float(b.tau), rtol=1e-6)
+
+
+def test_full_step_matches_allpairs_oracle_f64():
+    """Full-pipeline cross-check vs the independent all-pairs float64
+    oracle (tests/oracles/sph_oracle.py): density/EOS, forces with
+    Monaghan viscosity, restitution walls, post-integration XSPH and the
+    tau clock, over two steps with substepping.  (Longer runs diverge
+    chaotically: the wall-bounce and viscosity sign branches flip on
+    values equal to within 1 ulp between the two implementations.)"""
+    from tests.oracles.sph_oracle import SPHOracle
+
+    cfg = sph.SPHConfig(n=256, rain=False, use_xsph=True, xsph_eps=0.25,
+                        visc_substeps=2, dtype="float64")
+    s = sph.init(cfg)
+    orc = SPHOracle(cfg, np.asarray(s.pos), np.asarray(s.vel),
+                    float(s.t), float(s.tau))
+    step = jax.jit(lambda st: sph.step(cfg, st))
+    for _ in range(2):
+        s = step(s)
+        orc.step()
+    assert np.abs(np.asarray(s.pos) - orc.pos).max() < 1e-13
+    assert np.abs(np.asarray(s.vel) - orc.vel).max() < 1e-13
+    np.testing.assert_allclose(float(s.t), orc.t, rtol=1e-12)
+    np.testing.assert_allclose(float(s.tau), orc.tau, rtol=1e-12)
