@@ -77,3 +77,20 @@ def test_channel_flow_develops():
     mid = sp[cfg.ny // 2, :].mean()
     near_wall = sp[1, :].mean()
     assert mid > near_wall
+
+
+def test_pull_matches_push_oracle_f64():
+    """The pull-streaming solver reproduces the reference's PUSH
+    collide+stream (tau_lbm.cu:94-132) exactly — cross-checked against an
+    independent per-cell float64 push oracle (tests/oracles/lbm_oracle.py);
+    differences are summation-order ulps only."""
+    from tests.oracles.lbm_oracle import LBMOracle
+
+    cfg = lbm.LBMConfig(nx=48, ny=32, dtype="float64")
+    s = lbm.init(cfg)
+    orc = LBMOracle(cfg, np.asarray(s.f), np.asarray(s.solid))
+    step = jax.jit(lambda st: lbm.step(cfg, st))
+    for _ in range(5):
+        s = step(s)
+        orc.step()
+    assert np.abs(np.asarray(s.f) - orc.f).max() < 1e-13
