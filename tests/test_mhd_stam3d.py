@@ -160,3 +160,20 @@ def test_stam3d_dense_advection_full_step():
     out = jax.jit(lambda st: s3.run(cfg, st, 5))(s)
     assert np.isfinite(np.asarray(out.d)).all()
     assert np.isfinite(np.asarray(out.u)).all()
+
+
+def test_mhd_matches_loop_oracle_f64():
+    """Full-pipeline cross-check vs the independent per-cell float64 oracle
+    (tests/oracles/mhd_oracle.py), Brio-Wu in the parity flux mode."""
+    from tests.oracles.mhd_oracle import MHDOracle
+
+    cfg = mhd.MHDConfig(nx=32, ny=24, problem="briowu", dtype="float64")
+    s = mhd.init(cfg)
+    orc = MHDOracle(cfg, tuple(s.U), float(s.t))
+    step = jax.jit(lambda st: mhd.step(cfg, st))
+    for _ in range(4):
+        s = step(s)
+        orc.step()
+    got = np.stack([np.asarray(f) for f in s.U], -1)
+    assert np.abs(got - orc.U).max() < 1e-12
+    np.testing.assert_allclose(float(s.t), orc.t, rtol=1e-12)
