@@ -135,3 +135,22 @@ def test_stam_deterministic():
     a = jax.jit(lambda st: stam2d.run(cfg, st, 5))(s)
     b = jax.jit(lambda st: stam2d.run(cfg, st, 5))(s)
     assert jnp.array_equal(a.d, b.d)
+
+
+def test_shallow_water_matches_loop_oracle_f64():
+    """Full-pipeline cross-check vs the independent per-cell float64 oracle
+    (tests/oracles/shallow_water_oracle.py)."""
+    from tests.oracles.shallow_water_oracle import SWOracle
+
+    cfg = sw.ShallowWaterConfig(nx=40, ny=28, dtype="float64")
+    s = sw.init(cfg)
+    orc = SWOracle(cfg, np.asarray(s.sigma), np.asarray(s.u),
+                   np.asarray(s.v), float(s.t), float(s.tau))
+    step = jax.jit(lambda st: sw.step(cfg, st))
+    for _ in range(4):
+        s = step(s)
+        orc.step()
+    assert np.abs(np.asarray(s.sigma) - orc.sigma).max() < 1e-12
+    assert np.abs(np.asarray(s.u) - orc.u).max() < 1e-12
+    assert np.abs(np.asarray(s.v) - orc.v).max() < 1e-12
+    np.testing.assert_allclose(float(s.t), orc.t, rtol=1e-12)
