@@ -154,3 +154,23 @@ def test_shallow_water_matches_loop_oracle_f64():
     assert np.abs(np.asarray(s.u) - orc.u).max() < 1e-12
     assert np.abs(np.asarray(s.v) - orc.v).max() < 1e-12
     np.testing.assert_allclose(float(s.t), orc.t, rtol=1e-12)
+
+
+def test_burgers_2d_matches_loop_oracle_f64():
+    """Full-pipeline cross-check vs the independent per-cell float64 oracle
+    (tests/oracles/burgers_oracle.py), first-order and MUSCL paths."""
+    from tests.oracles.burgers_oracle import BurgersOracle
+
+    for muscl in (False, True):
+        cfg = bg.BurgersConfig(nx=32, ny=24, muscl=muscl, visc_substeps=2,
+                               dtype="float64")
+        s = bg.init(cfg)
+        orc = BurgersOracle(cfg, np.asarray(s.phi_u), np.asarray(s.phi_v),
+                            float(s.t), float(s.tau))
+        step = jax.jit(lambda st, c=cfg: bg.step(c, st))
+        for _ in range(4):
+            s = step(s)
+            orc.step()
+        assert np.abs(np.asarray(s.phi_u) - orc.pu).max() < 1e-12, muscl
+        assert np.abs(np.asarray(s.phi_v) - orc.pv).max() < 1e-12, muscl
+        np.testing.assert_allclose(float(s.t), orc.t, rtol=1e-12)

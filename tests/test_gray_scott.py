@@ -74,3 +74,17 @@ def test_jit_compatible():
     stepped = jax.jit(lambda st: gs.step(cfg, st))(s)
     ref = gs.step(cfg, s)
     np.testing.assert_allclose(np.asarray(stepped.u), np.asarray(ref.u), rtol=1e-6)
+
+
+def test_matches_loop_oracle_f64():
+    from tests.oracles.gray_scott_oracle import GrayScottOracle
+
+    cfg = gs.GrayScottConfig(nx=32, ny=24, dtype="float64")
+    s = gs.init(cfg)
+    orc = GrayScottOracle(cfg, np.asarray(s.u), np.asarray(s.v))
+    step = jax.jit(lambda st: gs.step(cfg, st))
+    for _ in range(5):
+        s = step(s)
+        orc.step()
+    np.testing.assert_allclose(np.asarray(s.u), orc.u, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(s.v), orc.v, atol=1e-13)
