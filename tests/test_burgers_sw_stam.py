@@ -174,3 +174,24 @@ def test_burgers_2d_matches_loop_oracle_f64():
         assert np.abs(np.asarray(s.phi_u) - orc.pu).max() < 1e-12, muscl
         assert np.abs(np.asarray(s.phi_v) - orc.pv).max() < 1e-12, muscl
         np.testing.assert_allclose(float(s.t), orc.t, rtol=1e-12)
+
+
+def test_stam2d_matches_loop_oracle_f64():
+    """Full-frame cross-check vs the independent per-cell float64 oracle
+    (tests/oracles/stam2d_oracle.py): decay, truncated orbiting source,
+    warm-started Jacobi diffusion, metric divergence/projection, eta-space
+    advection with the C int-cast, density step."""
+    from tests.oracles.stam2d_oracle import Stam2DOracle
+
+    cfg = stam2d.Stam2DConfig(n=24, jacobi_iters=10, dtype="float64")
+    s = stam2d.init(cfg)
+    orc = Stam2DOracle(cfg, np.asarray(s.u), np.asarray(s.v),
+                       np.asarray(s.u0), np.asarray(s.v0),
+                       np.asarray(s.d), np.asarray(s.d0), int(s.step_idx))
+    step = jax.jit(lambda st: stam2d.step(cfg, st))
+    for _ in range(3):
+        s = step(s)
+        orc.step()
+    for name, ref in (("u", orc.u), ("v", orc.v), ("d", orc.d)):
+        got = np.asarray(getattr(s, name))
+        assert np.abs(got - ref[1:-1, 1:-1]).max() < 1e-12, name
