@@ -126,13 +126,27 @@ def _sum6(f):
 
 
 def _lin_solve(cfg, x, x0, a, c):
-    """Jacobi on the interior; ghost ring untouched (and therefore stale)
-    during iterations, exactly as lin_solve (js_cuda3d.cu:297-314)."""
+    """Jacobi ping-pong exactly as lin_solve (js_cuda3d.cu:297-313): only
+    interiors are written, so reads alternate between the x buffer's ghost
+    ring (even read iterations) and the zeroed scratch buffer's (odd) —
+    k_set_bnd populates the ghosts of u0/v0/w0/d0, so the alternation is
+    observable at the boundary ring.  An even iteration count lands in the
+    x buffer (x's ghosts survive on the result)."""
+    x0i = _interior(x0)
+    zeros = jnp.zeros_like(x)
 
-    def body(_, xk):
-        return _set_interior(xk, (_interior(x0) + a * _sum6(xk)) / c)
+    def body(it, xk):
+        interior = (x0i + a * _sum6(xk)) / c
+        # the buffer written at iteration `it` (and read at it+1):
+        # even it -> the zeroed scratch, odd it -> the x buffer
+        base = jnp.where((it % 2) == 0, zeros, x)
+        return _set_interior(base, interior)
 
-    return lax.fori_loop(0, cfg.jacobi_iters, body, x)
+    out = lax.fori_loop(0, cfg.jacobi_iters, body, x)
+    if cfg.jacobi_iters % 2:
+        # odd count: the reference memcpys the scratch (zero ghosts) into x
+        out = _set_interior(zeros, _interior(out))
+    return out
 
 
 def _diffuse(cfg, x, x0, coeff):

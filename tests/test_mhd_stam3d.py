@@ -177,3 +177,25 @@ def test_mhd_matches_loop_oracle_f64():
     got = np.stack([np.asarray(f) for f in s.U], -1)
     assert np.abs(got - orc.U).max() < 1e-12
     np.testing.assert_allclose(float(s.t), orc.t, rtol=1e-12)
+
+
+def test_stam3d_matches_loop_oracle_f64():
+    """Full-frame cross-check vs the independent float64 oracle
+    (tests/oracles/stam3d_oracle.py): decay, orbiting source with the
+    crossed u<-dz assignment, warm-started ping-pong Jacobi with the
+    alternating ghost ring, set_bnd placement, trilinear advection."""
+    from tests.oracles.stam3d_oracle import Stam3DOracle
+
+    cfg = stam3d.Stam3DConfig(n=12, dtype="float64")
+    s = stam3d.init(cfg)
+    orc = Stam3DOracle(cfg, *[np.asarray(getattr(s, f)) for f in
+                              ("u", "v", "w", "u0", "v0", "w0", "d", "d0")],
+                       int(s.step_idx))
+    step = jax.jit(lambda st: stam3d.step(cfg, st))
+    for _ in range(2):
+        s = step(s)
+        orc.step()
+    for name in ("u", "v", "w", "d", "u0", "d0"):
+        got = np.asarray(getattr(s, name))
+        ref = getattr(orc, name)
+        assert np.abs(got - ref).max() < 1e-12, name
