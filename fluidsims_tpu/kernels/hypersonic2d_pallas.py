@@ -177,16 +177,10 @@ def make_step_pallas(cfg: h2.Hypersonic2DConfig, band: int = 16,
         left = jnp.full((f.shape[0], PAD), left_val, f.dtype)
         return tile_layout(jnp.concatenate([left, f], axis=1))
 
-    def step(s: h2.Hypersonic2DState) -> h2.Hypersonic2DState:
-        U, mask = s.U, s.mask
-
-        first_col = jnp.asarray(np.arange(cfg.nx) == 0)[None, :] & ~mask
-        U = e2.c_where(first_col, h2._bcast(infl, U.rho.shape), U)
-
-        maxs = h2.max_wavespeed(cfg, U, mask)
-        dt = cfl_dt(maxs, cfg.cfl, dx=1.0, nu_max=cfg.nu_max)
+    def core(U: Cons, mask, dt) -> Cons:
+        """pad_bc + step_core_padded, fused (the exchangeable engine of
+        h2.step — same signature contract as the XLA default)."""
         dt_arr = jnp.reshape(dt, (1, 1))
-
         padded = [pad_field(f, v) for f, v in zip(U, infl)]
         mf = jnp.pad(mask.astype(cfg.jax_dtype), ((ypad, ypad), (0, 0)),
                      mode="edge")
@@ -198,10 +192,22 @@ def make_step_pallas(cfg: h2.Hypersonic2DConfig, band: int = 16,
         for f in padded:
             args.extend([f, f, f])
         rho, mx, my, E = call(*args)
-        Un = Cons(rho=rho, mx=mx, my=my, E=E)
-        return h2.Hypersonic2DState(U=Un, mask=mask, t=s.t + dt)
+        return Cons(rho=rho, mx=mx, my=my, E=E)
 
+    def step(s: h2.Hypersonic2DState) -> h2.Hypersonic2DState:
+        return h2.step(cfg, s, core=core)
+
+    step.core = core
     return step
+
+
+def make_core_pallas(cfg: h2.Hypersonic2DConfig, band: int = 16,
+                     interpret: bool = False, tile_w: int | None = None):
+    """The fused-kernel cell-update engine alone: (U, mask, dt) -> Cons.
+    Plug into h2.step(..., core=...) — including on the halo-extended
+    slabs of the sharded runners (the kernel's own BC padding only touches
+    the cropped halo region there, exactly like pad_bc)."""
+    return make_step_pallas(cfg, band, interpret, tile_w).core
 
 
 def step_pallas(cfg, s, band: int = 16, interpret: bool = False,

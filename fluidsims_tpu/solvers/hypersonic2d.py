@@ -409,6 +409,7 @@ def step(
     s: Hypersonic2DState,
     inflow_cols=None,
     wavespeed_reduce=None,
+    core=None,
 ) -> Hypersonic2DState:
     """One full physics step — the reference's 5-kernel sequence
     (tau_hypersonic_cuda.cu:1833-1889) as one fused jit region:
@@ -418,6 +419,8 @@ def step(
     path (fluidsims_tpu.parallel): a traced bool column mask selecting where
     the inflow BC applies (default: global column 0), and a cross-device
     reduction (lax.pmax over the mesh axis) for the CFL wavespeed.
+    `core` overrides the cell-update engine ((U, mask, dt) -> Cons; the
+    fused Pallas kernel via kernels.hypersonic2d_pallas.make_core_pallas).
     """
     U, mask = s.U, s.mask
 
@@ -434,8 +437,11 @@ def step(
         maxs = wavespeed_reduce(maxs)
     dt = cfl_dt(maxs, cfg.cfl, dx=1.0, nu_max=cfg.nu_max)
 
-    Up, Mp = pad_bc(cfg, U, mask)
-    Un = step_core_padded(cfg, Up, Mp, dt)
+    if core is None:
+        Up, Mp = pad_bc(cfg, U, mask)
+        Un = step_core_padded(cfg, Up, Mp, dt)
+    else:
+        Un = core(U, mask, dt)
 
     return Hypersonic2DState(U=Un, mask=mask, t=s.t + dt)
 
