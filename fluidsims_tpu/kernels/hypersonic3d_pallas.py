@@ -133,7 +133,6 @@ def make_step_pallas(cfg: h3.Hypersonic3DConfig, band: int = 4,
         interpret=interpret,
     )
 
-    solid_pad = np.asarray(h3.build_solid(cfg, pad=HALO))
     # z pads extended from HALO to a whole band (extra planes never read)
     zext = band - HALO
 
@@ -149,14 +148,11 @@ def make_step_pallas(cfg: h3.Hypersonic3DConfig, band: int = 4,
                      for t in tiles]
         return jnp.concatenate(tiles, axis=1)
 
-    npdtype = np.float32 if itemsize == 4 else np.float64
-    solidf_ext = jnp.asarray(np.pad(
-        solid_pad.astype(npdtype), ((zext, zext), (0, 0), (0, 0)),
-        mode="edge"))
-    solidf_ext = tile_layout(solidf_ext)
-    solid_pad_j = jnp.asarray(solid_pad)
-
-    def core(qp, _solid_pad, dt, gain):
+    def core(qp, solid_pad, dt, gain):
+        """(padded prims, halo-3 solid mask, dt, inflow gain) -> q1.  The
+        solid mask is a regular traced input (constant-folded for the
+        single-chip static geometry; per-device slabs in the sharded
+        path)."""
         scal = jnp.stack([dt.astype(dtype),
                           gain.astype(dtype)]).reshape(1, 2)
         args = [scal]
@@ -164,13 +160,38 @@ def make_step_pallas(cfg: h3.Hypersonic3DConfig, band: int = 4,
             fe = tile_layout(
                 jnp.pad(f, ((zext, zext), (0, 0), (0, 0)), mode="edge"))
             args.extend([fe, fe, fe])
-        args.extend([solidf_ext, solidf_ext, solidf_ext])
+        sf = tile_layout(jnp.pad(solid_pad.astype(dtype),
+                                 ((zext, zext), (0, 0), (0, 0)),
+                                 mode="edge"))
+        args.extend([sf, sf, sf])
         return PrimT(*call(*args))
+
+    solid_pad_j = jnp.asarray(np.asarray(h3.build_solid(cfg, pad=HALO)))
 
     def step(s: h3.Hypersonic3DState) -> h3.Hypersonic3DState:
         return h3.step(cfg, s, solid_pad=solid_pad_j, core=core)
 
+    step.core = core
     return step
+
+
+def pick_band(nz: int) -> int:
+    """Largest divisor of nz that is >= HALO and <= 8 (the calibrated
+    sweet spot)."""
+    for b in (8, 7, 6, 5, 4, 3):
+        if nz % b == 0:
+            return b
+    raise ValueError(f"nz={nz} has no band divisor in [3, 8]")
+
+
+def make_core_pallas(cfg: h3.Hypersonic3DConfig, band: int | None = None,
+                     interpret: bool = False, tile_y: int | None = None):
+    """The fused-kernel cell-update engine alone:
+    (padded prims, solid_pad, dt, gain) -> q1.  Plug into
+    h3.step(..., core=...) — including on the halo-extended z-slabs of the
+    sharded runner (pass a cfg with nz = local slab depth)."""
+    band = pick_band(cfg.nz) if band is None else band
+    return make_step_pallas(cfg, band, interpret, tile_y).core
 
 
 def run_pallas(cfg, s, n_steps: int, band: int = 4,
