@@ -47,6 +47,7 @@ class DenseCells(NamedTuple):
     ok: jnp.ndarray       # (n,) bool: particle stored
     occ: jnp.ndarray      # (Gy, Gx, K) bool: slot occupied
     overflow: jnp.ndarray  # scalar int: dropped particles
+    inv: jnp.ndarray      # (M*K,) int32: particle index per slot (n = empty)
 
 
 def make_dense_grid(box_x: float, box_y: float, h: float, n: int,
@@ -68,12 +69,17 @@ def _cid(grid: DenseGrid, pos):
     return gy * grid.Gx + gx
 
 
-def bin_particles(grid: DenseGrid, pos) -> DenseCells:
+def bin_particles(grid: DenseGrid, pos, cid=None) -> DenseCells:
+    """Bin by position (default) or by a caller-computed flat cell id —
+    callers whose stencil bookkeeping depends on an exact base-cell
+    definition (e.g. floor(pos * (n-1)) in FLIP/MPM) pass `cid` so the
+    binning can never disagree with their weights by an FP ulp."""
     n = pos.shape[0]
     M = grid.Gx * grid.Gy
     K = grid.K
 
-    cid = _cid(grid, pos)
+    if cid is None:
+        cid = _cid(grid, pos)
     order = jnp.argsort(cid)
     sc = cid[order]
     first = jnp.searchsorted(sc, sc, side="left").astype(jnp.int32)
@@ -85,22 +91,30 @@ def bin_particles(grid: DenseGrid, pos) -> DenseCells:
     didx = jnp.zeros(n, jnp.int32).at[order].set(didx_sorted)
     ok = jnp.zeros(n, bool).at[order].set(ok_sorted)
 
-    occ = jnp.zeros(M * K, bool).at[didx].set(True, mode="drop")
+    # inverse map slot -> particle (TPU row GATHERS are ~6x cheaper than
+    # row scatters, so field transfers go through this one int scatter)
+    inv = jnp.full(M * K, n, jnp.int32).at[didx_sorted].set(
+        order.astype(jnp.int32), mode="drop", indices_are_sorted=True,
+        unique_indices=True)
+    occ = inv < n
     overflow = n - jnp.sum(ok)
     return DenseCells(didx=didx, ok=ok,
                       occ=occ.reshape(grid.Gy, grid.Gx, K),
-                      overflow=overflow)
+                      overflow=overflow, inv=inv)
 
 
 def scatter_field(grid: DenseGrid, cells: DenseCells, f):
-    """(n,) or (n, c) particle field -> (Gy, Gx, K[, c]) dense array."""
-    M = grid.Gx * grid.Gy
+    """(n,) or (n, c) particle field -> (Gy, Gx, K[, c]) dense array.
+    Implemented as a gather through the slot->particle inverse map (empty
+    slots read particle 0 and are masked to zero)."""
     K = grid.K
+    n = f.shape[0]
+    idx = jnp.minimum(cells.inv, n - 1)
+    occ = cells.inv < n
     if f.ndim == 1:
-        out = jnp.zeros(M * K, f.dtype).at[cells.didx].set(f, mode="drop")
+        out = jnp.where(occ, f[idx], 0)
         return out.reshape(grid.Gy, grid.Gx, K)
-    out = jnp.zeros((M * K, f.shape[1]), f.dtype)
-    out = out.at[cells.didx].set(f, mode="drop")
+    out = jnp.where(occ[:, None], f[idx], 0)
     return out.reshape(grid.Gy, grid.Gx, K, f.shape[1])
 
 

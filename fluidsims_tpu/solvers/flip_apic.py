@@ -9,10 +9,20 @@ FLIP/PIC blend, affine matrix from central differences of the projected
 field, advection with restitution -0.35 walls at [0.01, 0.99], and density
 rasterization (sample_grid/k_g2p :186-241).
 
-TPU design: the atomicAdd P2G scatter becomes 9 masked `.at[].add`
-scatter-adds (one per stencil offset) with statically-shaped flat indices;
-G2P is a pure bilinear gather.  The Jacobi loop is lax.fori_loop; the whole
-step is one jit region.
+TPU design: TPU element scatters/gathers run at ~40-90M elem/s, so the
+atomicAdd P2G and the per-particle bilinear G2P are both pathology-bound.
+The step instead bins particles into the cell-dense (n, n, K) layout
+(ops/cell_dense.py) once per step: P2G becomes 9 per-offset dense
+sums-over-K followed by static grid shifts (with an exact per-axis
+multiplicity factor reproducing the reference's index clipping at the
+walls), and G2P sampling becomes per-slot hat weights times grid values
+broadcast over K (static shifts of the grid — zero gathers).  Particles
+beyond the K=bin_capacity occupancy of a cell are dropped from the
+transfers (the default K is sized ~16x the mean occupancy; overflow is
+countable via ops.cell_dense).  The Jacobi loop is lax.fori_loop; the
+whole step is one jit region.  engine="scatter" selects the direct
+scatter/gather formulation — exact at any occupancy, ~an order of
+magnitude slower.
 """
 
 from __future__ import annotations
@@ -41,6 +51,8 @@ class FlipApicConfig(BaseConfig):
     apic: float = 0.85
     jitter: float = 0.22
     seed: int = 1337
+    engine: str = "dense"   # "dense" (cell-dense, fast) or "scatter"
+    bin_capacity: int = 0   # 0 = auto (~16x mean occupancy)
     dtype: str = "float32"
 
     def validate(self):
@@ -48,6 +60,14 @@ class FlipApicConfig(BaseConfig):
         self._require(self.grid >= 16, "grid must be >= 16")
         self._require(0.0 <= self.flip <= 1.0, "flip in [0,1]")
         self._require(0.0 <= self.apic <= 1.0, "apic in [0,1]")
+        self._require(self.engine in ("dense", "scatter"), "unknown engine")
+
+    @property
+    def capacity(self) -> int:
+        if self.bin_capacity > 0:
+            return self.bin_capacity
+        mean = self.particles / ((self.grid - 1) ** 2)
+        return max(32, int(np.ceil(16.0 * mean / 8.0)) * 8)
 
 
 class FlipApicState(NamedTuple):
@@ -156,13 +176,13 @@ def _sample(u, v, px, py, n):
     return bil(u), bil(v)
 
 
-def step(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
+def _grid_phase(cfg, mass, u, v):
+    """normalize + gravity + clamps -> divergence -> Jacobi -> projection
+    (k_normalize_forces..k_project, :133-184).  Shared by both engines.
+    Returns (u_prev, v_prev, u_proj, v_proj)."""
     n = cfg.grid
     dt = cfg.dt
 
-    mass, u, v = _p2g(cfg, s.pos, s.vel, s.affine_x, s.affine_y)
-
-    # normalize + gravity + boundary clamps (k_normalize_forces, :133-150)
     has_mass = mass > 1e-8
     u = jnp.where(has_mass, u / jnp.maximum(mass, 1e-8), u)
     v = jnp.where(has_mass, v / jnp.maximum(mass, 1e-8) - cfg.gravity * dt, v)
@@ -199,6 +219,15 @@ def step(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
     v_proj = jnp.zeros_like(v).at[1:-1, 1:-1].set(
         v[1:-1, 1:-1] - 0.5 * (p[2:, 1:-1] - p[:-2, 1:-1]) / (n - 1)
     )
+    return u_prev, v_prev, u_proj, v_proj
+
+
+def _step_scatter(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
+    n = cfg.grid
+    dt = cfg.dt
+
+    mass, u, v = _p2g(cfg, s.pos, s.vel, s.affine_x, s.affine_y)
+    u_prev, v_prev, u_proj, v_proj = _grid_phase(cfg, mass, u, v)
 
     # G2P (k_g2p, :202-241)
     px, py = s.pos[:, 0], s.pos[:, 1]
@@ -237,6 +266,165 @@ def step(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
         affine_y=affine_y,
         density=density,
     )
+
+
+def _gshift(a, oy: int, ox: int):
+    """(n, n) grid view at offset: out[j, i] = a[j + oy, i + ox], zeros
+    outside the grid."""
+    n0, n1 = a.shape
+    padded = jnp.pad(a, ((max(-oy, 0), max(oy, 0)),
+                         (max(-ox, 0), max(ox, 0))))
+    y0 = max(-oy, 0) + oy
+    x0 = max(-ox, 0) + ox
+    return padded[y0:y0 + n0, x0:x0 + n1]
+
+
+def _step_dense(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
+    """Cell-dense engine: bin once, transfers via dense sums + static
+    shifts (module docstring)."""
+    from ..ops import cell_dense as cd
+
+    n = cfg.grid
+    dt = cfg.dt
+    dtype = s.pos.dtype
+    K = cfg.capacity
+    px, py = s.pos[:, 0], s.pos[:, 1]
+    gxp = px * (n - 1)
+    gyp = py * (n - 1)
+    bxp = jnp.clip(jnp.floor(gxp).astype(jnp.int32), 0, n - 1)
+    byp = jnp.clip(jnp.floor(gyp).astype(jnp.int32), 0, n - 1)
+    grid = cd.DenseGrid(Gx=n, Gy=n, cell=1.0, K=K)
+    cells = cd.bin_particles(grid, s.pos, cid=byp * n + bxp)
+
+    # ONE stacked scatter for all per-particle inputs (element scatters
+    # are the pathology; row scatters amortize it across channels)
+    h = 1.0 / (n - 1)
+    packed = jnp.stack([
+        gxp, gyp, s.vel[:, 0], s.vel[:, 1],
+        s.affine_x[:, 0], s.affine_x[:, 1],
+        s.affine_y[:, 0], s.affine_y[:, 1],
+        px, py,
+        (px + h) * (n - 1), (px - h) * (n - 1),
+        (py + h) * (n - 1), (py - h) * (n - 1),
+    ], -1)
+    dall = cd.scatter_field(grid, cells, packed)      # (n, n, K, 14)
+    dgx, dgy = dall[..., 0], dall[..., 1]
+    dvx, dvy = dall[..., 2], dall[..., 3]
+    dax = dall[..., 4:6]
+    day = dall[..., 6:8]
+    dpx, dpy = dall[..., 8], dall[..., 9]
+    occf = cells.occ.astype(dtype)
+
+    ix = lax.broadcasted_iota(jnp.int32, (n, n, K), 1).astype(dtype)
+    iy = lax.broadcasted_iota(jnp.int32, (n, n, K), 0).astype(dtype)
+    # per-axis clip multiplicity: at the walls the reference's index clip
+    # folds the out-of-grid offset onto the wall cell, doubling its weight
+    mx0 = 1.0 + (ix == 0) + (ix == n - 1)
+    my0 = 1.0 + (iy == 0) + (iy == n - 1)
+
+    # ---- P2G (k_p2g semantics; 9 dense sums + shifts) ----
+    mass = jnp.zeros((n, n), dtype)
+    mom_u = jnp.zeros((n, n), dtype)
+    mom_v = jnp.zeros((n, n), dtype)
+    for oy in (-1, 0, 1):
+        jt = iy + oy
+        wy = _w1(dgy - jt) * (my0 if oy == 0 else 1.0)
+        ry = (jt - dgy) / (n - 1)
+        for ox in (-1, 0, 1):
+            it = ix + ox
+            wt = _w1(dgx - it) * (mx0 if ox == 0 else 1.0) * wy * occf
+            rx = (it - dgx) / (n - 1)
+            vvx = dvx + cfg.apic * (dax[..., 0] * rx + day[..., 0] * ry)
+            vvy = dvy + cfg.apic * (dax[..., 1] * rx + day[..., 1] * ry)
+            mass = mass + _gshift(jnp.sum(wt, -1), -oy, -ox)
+            mom_u = mom_u + _gshift(jnp.sum(wt * vvx, -1), -oy, -ox)
+            mom_v = mom_v + _gshift(jnp.sum(wt * vvy, -1), -oy, -ox)
+
+    u_prev, v_prev, u_proj, v_proj = _grid_phase(cfg, mass, mom_u, mom_v)
+
+    # ---- G2P (sample_grid/k_g2p semantics; hat-window broadcasts) ----
+    def sample(gu, gv, sx, sy, wxs, wys):
+        """Per-slot bilinear sample of grids at clipped per-slot coords:
+        the hat weight selects exactly the two active corners per axis
+        inside the static offset window."""
+        su = jnp.zeros((n, n, K), dtype)
+        sv = jnp.zeros((n, n, K), dtype)
+        for oy in wys:
+            wy = _w1(sy - (iy + oy))
+            for ox in wxs:
+                w = _w1(sx - (ix + ox)) * wy
+                su = su + w * _gshift(gu, oy, ox)[:, :, None]
+                sv = sv + w * _gshift(gv, oy, ox)[:, :, None]
+        return su, sv
+
+    clipc = lambda a: jnp.clip(a, 0.0, n - 1.001)  # noqa: E731
+    # per-particle sample coordinates, computed exactly as the scatter
+    # path does (then scattered), so FP matches it bit for bit
+    cgx, cgy = clipc(dgx), clipc(dgy)
+    cxp = clipc(dall[..., 10])
+    cxm = clipc(dall[..., 11])
+    cyp = clipc(dall[..., 12])
+    cym = clipc(dall[..., 13])
+
+    C = (0, 1)          # central window per axis
+    W = (-2, -1, 0, 1, 2)  # wide window for the +-h samples (covers clips)
+    new_u, new_v = sample(u_proj, v_proj, cgx, cgy, C, C)
+    old_u, old_v = sample(u_prev, v_prev, cgx, cgy, C, C)
+    flip_u = dvx + new_u - old_u
+    flip_v = dvy + new_v - old_v
+    vel_x = (1 - cfg.flip) * new_u + cfg.flip * flip_u
+    vel_y = (1 - cfg.flip) * new_v + cfg.flip * flip_v
+
+    ux1, vx1 = sample(u_proj, v_proj, cxp, cgy, W, C)
+    ux0, vx0 = sample(u_proj, v_proj, cxm, cgy, W, C)
+    uy1, vy1 = sample(u_proj, v_proj, cgx, cyp, C, W)
+    uy0, vy0 = sample(u_proj, v_proj, cgx, cym, C, W)
+    nax_x = 0.5 * (ux1 - ux0) / h
+    nax_y = 0.5 * (vx1 - vx0) / h
+    nay_x = 0.5 * (uy1 - uy0) / h
+    nay_y = 0.5 * (vy1 - vy0) / h
+
+    # advect + restitution walls, per slot
+    nx_ = dpx + vel_x * dt
+    ny_ = dpy + vel_y * dt
+    hit_x = (nx_ < 0.01) | (nx_ > 0.99)
+    hit_y = (ny_ < 0.01) | (ny_ > 0.99)
+    vel_x = jnp.where(hit_x, vel_x * -0.35, vel_x)
+    vel_y = jnp.where(hit_y, vel_y * -0.35, vel_y)
+    nx_ = jnp.clip(nx_, 0.01, 0.99)
+    ny_ = jnp.clip(ny_, 0.01, 0.99)
+
+    # back to particle order with ONE stacked gather (dropped/overflow
+    # particles keep their previous state)
+    dense_out = jnp.stack(
+        [nx_, ny_, vel_x, vel_y, nax_x, nax_y, nay_x, nay_y], -1)
+    got = cd.gather_result(grid, cells, dense_out)    # (np, 8)
+    okc = cells.ok[:, None]
+    old = jnp.concatenate(
+        [s.pos, s.vel, s.affine_x, s.affine_y], -1)
+    out = jnp.where(okc, got, old)
+    out_px, out_py = out[:, 0], out[:, 1]
+    out_vx, out_vy = out[:, 2], out[:, 3]
+    out_ax = out[:, 4:6]
+    out_ay = out[:, 6:8]
+
+    rx_ = jnp.clip((out_px * n).astype(jnp.int32), 0, n - 1)
+    ry_ = jnp.clip((out_py * n).astype(jnp.int32), 0, n - 1)
+    density = jnp.zeros(n * n, jnp.int32).at[ry_ * n + rx_].add(1)
+
+    return FlipApicState(
+        pos=jnp.stack([out_px, out_py], -1),
+        vel=jnp.stack([out_vx, out_vy], -1),
+        affine_x=out_ax,
+        affine_y=out_ay,
+        density=density.reshape(n, n),
+    )
+
+
+def step(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
+    if cfg.engine == "dense":
+        return _step_dense(cfg, s)
+    return _step_scatter(cfg, s)
 
 
 def density_grid(s: FlipApicState):
