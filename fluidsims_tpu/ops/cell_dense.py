@@ -131,6 +131,17 @@ def gather_result(grid: DenseGrid, cells: DenseCells, dense, fill=0.0):
     return jnp.where(cells.ok[:, None], vals, fill)
 
 
+def grid_shift(a, oy: int, ox: int):
+    """(Gy, Gx) grid view at offset: out[j, i] = a[j + oy, i + ox], zeros
+    outside the grid (used by the dense P2G/G2P transfer formulations)."""
+    n0, n1 = a.shape
+    padded = jnp.pad(a, ((max(-oy, 0), max(oy, 0)),
+                         (max(-ox, 0), max(ox, 0))))
+    y0 = max(-oy, 0) + oy
+    x0 = max(-ox, 0) + ox
+    return padded[y0:y0 + n0, x0:x0 + n1]
+
+
 def shift_cells(dense, oy: int, ox: int):
     """Dense array of the (oy, ox)-neighbor cell's residents; out-of-grid
     neighbors produce zeros (callers also mask with shifted `occ`)."""

@@ -49,12 +49,22 @@ class MPMConfig(BaseConfig):
     critical_stretch: float = 7.5e-3
     material: str = "snow"
     seed: int = 2026
+    engine: str = "dense"   # "dense" (cell-dense, fast) or "scatter"
+    bin_capacity: int = 0   # 0 = auto (~16x mean occupancy)
     dtype: str = "float32"
 
     def validate(self):
         self._require(self.n > 0, "n must be positive")
         self._require(self.gx >= 8 and self.gy >= 8, "grid too small")
         self._require(self.material in MATERIALS, f"material {self.material}")
+        self._require(self.engine in ("dense", "scatter"), "unknown engine")
+
+    @property
+    def capacity(self) -> int:
+        if self.bin_capacity > 0:
+            return self.bin_capacity
+        mean = self.n / (self.gx * self.gy)
+        return max(32, int(np.ceil(16.0 * mean / 8.0)) * 8)
 
     @property
     def dx(self):
@@ -108,7 +118,7 @@ def _det2(F):
     return F[:, 0, 0] * F[:, 1, 1] - F[:, 0, 1] * F[:, 1, 0]
 
 
-def step(cfg: MPMConfig, s: MPMState) -> MPMState:
+def _step_scatter(cfg: MPMConfig, s: MPMState) -> MPMState:
     n_p = cfg.n
     Gx, Gy = cfg.gx, cfg.gy
     dx = cfg.dx
@@ -235,6 +245,171 @@ def step(cfg: MPMConfig, s: MPMState) -> MPMState:
     )
 
     return MPMState(pos=x, vel=new_v, F=newF, Jp=Jp)
+
+
+def _plastic_and_stress(cfg, s):
+    """Per-particle plasticity clamp + stress (k_p2g :146-165) — pure
+    particle-space math shared by both engines."""
+    mat = MATERIALS[cfg.material]
+    inv_dx = 1.0 / cfg.dx
+    Fe = s.F
+    if mat == 1:  # snow: clamp principal-ish entries, decay shear
+        Fe = Fe.at[:, 0, 0].set(
+            jnp.clip(Fe[:, 0, 0], 1.0 - cfg.critical_compression,
+                     1.0 + cfg.critical_stretch)
+        )
+        Fe = Fe.at[:, 1, 1].set(
+            jnp.clip(Fe[:, 1, 1], 1.0 - cfg.critical_compression,
+                     1.0 + cfg.critical_stretch)
+        )
+        Fe = Fe.at[:, 0, 1].multiply(0.98)
+        Fe = Fe.at[:, 1, 0].multiply(0.98)
+    J = jnp.maximum(_det2(Fe), 0.2)
+    e = jnp.exp(cfg.hardening * (1.0 - s.Jp))
+    mu = cfg.mu0 * e
+    lam = cfg.lambda0 * e
+    if mat == 0:
+        mu = mu * 0.25
+    elif mat == 2:
+        mu = mu * 1.8
+        lam = lam * 0.75
+    FFt = jnp.einsum("nij,nkj->nik", Fe, Fe)
+    I = jnp.eye(2, dtype=Fe.dtype)
+    PFt = mu[:, None, None] * (FFt - I) \
+        + (lam * jnp.log(J) * J)[:, None, None] * I
+    stress = PFt * (-4.0 * inv_dx * inv_dx * cfg.dt * cfg.volume)
+    return Fe, stress
+
+
+def _step_dense(cfg: MPMConfig, s: MPMState) -> MPMState:
+    """Cell-dense engine: one binning per step; P2G = 9 dense sums + grid
+    shifts, G2P = 9 grid broadcasts — no element scatters/gathers on the
+    hot path (same design as flip_apic._step_dense; positions are clamped
+    to [2dx, (G-3)dx] so the 3x3 stencil never leaves the grid and the
+    reference's bounds skip is reproduced by the zero-filled shifts)."""
+    from ..ops import cell_dense as cd
+
+    n_p = cfg.n
+    Gx, Gy = cfg.gx, cfg.gy
+    dx = cfg.dx
+    inv_dx = 1.0 / dx
+    dt = cfg.dt
+    mat = MATERIALS[cfg.material]
+    dtype = s.pos.dtype
+    K = cfg.capacity
+
+    Xp = s.pos * inv_dx
+    base = jnp.floor(Xp - 0.5).astype(jnp.int32)
+    frac = Xp - base
+    Fe, stress = _plastic_and_stress(cfg, s)
+    m_v = cfg.particle_mass * s.vel
+
+    bx = jnp.clip(base[:, 0], 0, Gx - 1)
+    by = jnp.clip(base[:, 1], 0, Gy - 1)
+    grid = cd.DenseGrid(Gx=Gx, Gy=Gy, cell=dx, K=K)
+    cells = cd.bin_particles(grid, s.pos, cid=by * Gx + bx)
+
+    packed = jnp.concatenate([
+        frac,                                    # 0: fx, 1: fy
+        m_v,                                     # 2, 3
+        stress.reshape(n_p, 4),                  # 4..7 (s00, s01, s10, s11)
+        Fe.reshape(n_p, 4),                      # 8..11
+        s.Jp[:, None],                           # 12
+        s.pos,                                   # 13, 14
+    ], -1)
+    d = cd.scatter_field(grid, cells, packed)    # (Gy, Gx, K, 15)
+    occf = cells.occ.astype(dtype)
+    dfx, dfy = d[..., 0], d[..., 1]
+    wxs = _bspline_w(dfx)
+    wys = _bspline_w(dfy)
+
+    # ---- P2G ----
+    mass2 = jnp.zeros((Gy, Gx), dtype)
+    gu = jnp.zeros((Gy, Gx), dtype)
+    gv = jnp.zeros((Gy, Gx), dtype)
+    for ox in range(3):
+        dposx = (ox - dfx) * dx
+        for oy in range(3):
+            dposy = (oy - dfy) * dx
+            w = wxs[ox] * wys[oy] * occf
+            fx = d[..., 4] * dposx + d[..., 5] * dposy
+            fy = d[..., 6] * dposx + d[..., 7] * dposy
+            mass2 = mass2 + cd.grid_shift(
+                jnp.sum(w * cfg.particle_mass, -1), -oy, -ox)
+            gu = gu + cd.grid_shift(jnp.sum(w * (d[..., 2] + fx), -1),
+                                    -oy, -ox)
+            gv = gv + cd.grid_shift(jnp.sum(w * (d[..., 3] + fy), -1),
+                                    -oy, -ox)
+
+    # ---- grid update (k_grid_update) ----
+    has = mass2 > 0.0
+    gu = jnp.where(has, gu / jnp.maximum(mass2, 1e-30), gu)
+    gv = jnp.where(has, gv / jnp.maximum(mass2, 1e-30) - cfg.gravity * dt, gv)
+    xsi = jnp.arange(Gx)[None, :]
+    ysi = jnp.arange(Gy)[:, None]
+    gu = jnp.where(has & (((xsi < 3) & (gu < 0)) | ((xsi > Gx - 4) & (gu > 0))),
+                   0.0, gu)
+    gv = jnp.where(has & (((ysi < 3) & (gv < 0)) | ((ysi > Gy - 4) & (gv > 0))),
+                   0.0, gv)
+    gu = jnp.where(has, gu, 0.0)
+    gv = jnp.where(has, gv, 0.0)
+
+    # ---- G2P ----
+    shape = dfx.shape
+    nvx = jnp.zeros(shape, dtype)
+    nvy = jnp.zeros(shape, dtype)
+    C00 = jnp.zeros(shape, dtype)
+    C01 = jnp.zeros(shape, dtype)
+    C10 = jnp.zeros(shape, dtype)
+    C11 = jnp.zeros(shape, dtype)
+    for ox in range(3):
+        dposx = (ox - dfx) * dx
+        for oy in range(3):
+            dposy = (oy - dfy) * dx
+            w = wxs[ox] * wys[oy] * occf
+            gvx = cd.grid_shift(gu, oy, ox)[:, :, None]
+            gvy = cd.grid_shift(gv, oy, ox)[:, :, None]
+            nvx = nvx + w * gvx
+            nvy = nvy + w * gvy
+            C00 = C00 + 4.0 * inv_dx * w * gvx * dposx
+            C01 = C01 + 4.0 * inv_dx * w * gvx * dposy
+            C10 = C10 + 4.0 * inv_dx * w * gvy * dposx
+            C11 = C11 + 4.0 * inv_dx * w * gvy * dposy
+
+    f00, f01, f10, f11 = d[..., 8], d[..., 9], d[..., 10], d[..., 11]
+    n00 = (1.0 + dt * C00) * f00 + dt * C01 * f10
+    n01 = (1.0 + dt * C00) * f01 + dt * C01 * f11
+    n10 = dt * C10 * f00 + (1.0 + dt * C11) * f10
+    n11 = dt * C10 * f01 + (1.0 + dt * C11) * f11
+    oldJ = jnp.maximum(f00 * f11 - f01 * f10, 1.0e-6)
+    newJ = jnp.maximum(n00 * n11 - n01 * n10, 1.0e-6)
+    if mat == 0:  # mud relaxes shear
+        n01 = n01 * 0.96
+        n10 = n10 * 0.96
+    Jp2 = jnp.clip(d[..., 12] * oldJ / newJ, 0.05, 20.0)
+
+    nx_ = jnp.clip(d[..., 13] + dt * nvx, 2.0 * dx, (Gx - 3.0) * dx)
+    ny_ = jnp.clip(d[..., 14] + dt * nvy, 2.0 * dx, (Gy - 3.0) * dx)
+
+    dense_out = jnp.stack(
+        [nx_, ny_, nvx, nvy, n00, n01, n10, n11, Jp2], -1)
+    got = cd.gather_result(grid, cells, dense_out)   # (n_p, 9)
+    old = jnp.concatenate(
+        [s.pos, s.vel, s.F.reshape(n_p, 4), s.Jp[:, None]], -1)
+    out = jnp.where(cells.ok[:, None], got, old)
+
+    return MPMState(
+        pos=out[:, 0:2],
+        vel=out[:, 2:4],
+        F=out[:, 4:8].reshape(n_p, 2, 2),
+        Jp=out[:, 8],
+    )
+
+
+def step(cfg: MPMConfig, s: MPMState) -> MPMState:
+    if cfg.engine == "dense":
+        return _step_dense(cfg, s)
+    return _step_scatter(cfg, s)
 
 
 def run(cfg: MPMConfig, s: MPMState, n_steps: int) -> MPMState:
