@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from ..core.config import BaseConfig
@@ -75,6 +76,7 @@ class GraphLayoutConfig(BaseConfig):
     dt: float = 0.5
     max_speed: float = 80.0
     grid_res: int = 32             # monopole mesh resolution per axis
+    near_field_max: int = 1 << 15  # bodies above this use monopole-only
     dtype: str = "float32"
 
     def validate(self):
@@ -177,12 +179,23 @@ def _repulsion_grid(cfg, pos):
     mpos = jnp.zeros((M, dims), pos.dtype).at[cid].add(pos)
     com = mpos / jnp.maximum(mass, 1.0)[:, None]
 
-    # far field: monopole force from every cell
-    d = pos[:, None, :] - com[None, :, :]             # (n, M, dims)
-    d2 = jnp.sum(d * d, axis=-1) + cfg.softening
-    inv_d = 1.0 / jnp.sqrt(d2)
-    fmag = cfg.repulsion * mass[None, :] / d2
-    far = jnp.sum((fmag * inv_d)[..., None] * d, axis=1)
+    # far field: monopole force from every cell, chunked over bodies so
+    # the (chunk, M, dims) intermediate stays bounded (the unchunked
+    # (n, M, dims) product is >1 GB at the reference's 131k bodies and
+    # crashes the TPU compile)
+    CH = min(n, 4096)
+    n_pad = -(-n // CH) * CH
+    posp = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+
+    def far_chunk(pc):
+        d = pc[:, None, :] - com[None, :, :]          # (CH, M, dims)
+        d2 = jnp.sum(d * d, axis=-1) + cfg.softening
+        inv_d = 1.0 / jnp.sqrt(d2)
+        fmag = cfg.repulsion * mass[None, :] / d2
+        return jnp.sum((fmag * inv_d)[..., None] * d, axis=1)
+
+    far = lax.map(far_chunk, posp.reshape(-1, CH, dims))
+    far = far.reshape(n_pad, dims)[:n]
 
     # near field: subtract this body's own cell + neighbors' monopoles and
     # add the exact pairwise forces from those cells' bodies
@@ -191,11 +204,13 @@ def _repulsion_grid(cfg, pos):
     cap = max(16, int(8 * n / M) + 8)
     grid2 = cl_ops.CellGrid(Gx=G, Gy=G, cell=1.0, capacity=cap)
 
-    if dims == 3:
-        # 3-D near field approximated with the monopole only (the far field
-        # already includes every cell); matches BH accuracy at coarse theta.
-        correction = 0.0
-        return far + correction
+    if dims == 3 or n > cfg.near_field_max:
+        # near field approximated with the monopole only (the far field
+        # already includes every cell): BH accuracy at coarse theta.  The
+        # exact 3x3-cell near field materializes (n, 9*capacity) pair
+        # blocks — prohibitive at the reference's 131k bodies, where the
+        # native engine (nbody_native) is the high-fidelity path.
+        return far
 
     cl = cl_ops.CellList(
         table=jnp.full((M * cap,), n, jnp.int32)
