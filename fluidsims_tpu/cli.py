@@ -421,7 +421,8 @@ def cmd_flip(args):
     cfg = fa.FlipApicConfig(particles=args.particles, grid=args.grid,
                             jacobi=args.jacobi, dt=args.dt,
                             gravity=args.gravity, flip=args.flip,
-                            apic=args.apic, dtype=args.dtype)
+                            apic=args.apic, engine=args.engine,
+                            dtype=args.dtype)
     s = fa.init(cfg)
     run = jax.jit(lambda st, n: fa.run(cfg, st, n), static_argnums=1)
 
@@ -444,7 +445,8 @@ def cmd_mpm(args):
     from .solvers import mpm
 
     cfg = mpm.MPMConfig(n=args.n, gx=args.gx, gy=args.gy, dt=args.dt,
-                        material=args.material, dtype=args.dtype)
+                        material=args.material, engine=args.engine,
+                        dtype=args.dtype)
     s = mpm.init(cfg)
     run = jax.jit(lambda st, n: mpm.run(cfg, st, n), static_argnums=1)
 
@@ -688,6 +690,8 @@ def build_parser():
     p.add_argument("--gravity", type=float, default=7.5)
     p.add_argument("--flip", type=float, default=0.97)
     p.add_argument("--apic", type=float, default=0.85)
+    p.add_argument("--engine", choices=("dense", "scatter"), default="dense",
+                   help="transfer engine: cell-dense (fast) or scatter")
     _common(p, 200)
     p.set_defaults(fn=cmd_flip)
 
@@ -700,6 +704,8 @@ def build_parser():
                    choices=["mud", "snow", "sand"])
     p.add_argument("--cols", type=int, default=100)
     p.add_argument("--rows", type=int, default=40)
+    p.add_argument("--engine", choices=("dense", "scatter"),
+                   default="dense")
     _common(p, 500)
     p.set_defaults(fn=cmd_mpm)
 
