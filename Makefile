@@ -33,5 +33,6 @@ dryrun:
 		$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 clean:
-	rm -f native/libfourspl.so
+	rm -f native/libfourspl.so native/libhypersonic2d_cpu.so \
+		native/libnbody_bh.so
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

@@ -111,6 +111,21 @@ def _maybe_render(args, text):
         print(text)
 
 
+def _report_overflow(n_dropped: int, n_total: int):
+    """Surface cell-dense capacity overflow (ops/cell_dense.py): particles
+    beyond a cell's K slots are dropped from interactions.  The exact
+    engine='scatter' path (FLIP/MPM) or a larger --bin-capacity avoids it."""
+    if n_dropped > 0:
+        import sys
+
+        print(
+            f"WARNING: {n_dropped}/{n_total} particles exceed the cell-dense "
+            f"bin capacity and are excluded from interactions this frame; "
+            f"raise --bin-capacity or use --engine scatter for exact physics",
+            file=sys.stderr,
+        )
+
+
 def cmd_gray_scott(args):
     import jax
     import numpy as np
@@ -407,6 +422,7 @@ def cmd_sph(args):
     out = _run_headless(run, s, args.steps, "sph", args=args, frame_fn=frame)
     print(f"t = {float(out.t):.4f} tau = {float(out.tau):.4f}  "
           f"({cfg.n * args.steps / 1e6:.2f}M particle-steps)")
+    _report_overflow(int(sph.overflow_count(cfg, out)), cfg.n)
     if args.render and not args.stride:
         print(frame(out))
 
@@ -422,6 +438,7 @@ def cmd_flip(args):
                             jacobi=args.jacobi, dt=args.dt,
                             gravity=args.gravity, flip=args.flip,
                             apic=args.apic, engine=args.engine,
+                            bin_capacity=args.bin_capacity,
                             dtype=args.dtype)
     s = fa.init(cfg)
     run = jax.jit(lambda st, n: fa.run(cfg, st, n), static_argnums=1)
@@ -434,6 +451,7 @@ def cmd_flip(args):
     dens = np.asarray(out.density)
     occupied = int((dens > 0).sum())
     print(f"occupied={occupied} peak_cell={int(dens.max())}")
+    _report_overflow(int(fa.overflow_count(cfg, out)), cfg.particles)
     if not args.stride:
         _maybe_render(args, frame(out))
 
@@ -446,6 +464,7 @@ def cmd_mpm(args):
 
     cfg = mpm.MPMConfig(n=args.n, gx=args.gx, gy=args.gy, dt=args.dt,
                         material=args.material, engine=args.engine,
+                        bin_capacity=args.bin_capacity,
                         dtype=args.dtype)
     s = mpm.init(cfg)
     run = jax.jit(lambda st, n: mpm.run(cfg, st, n), static_argnums=1)
@@ -465,6 +484,7 @@ def cmd_mpm(args):
         return "\n".join("".join(r) for r in chars)
 
     out = _run_headless(run, s, args.steps, "mpm", args=args, frame_fn=frame)
+    _report_overflow(int(mpm.overflow_count(cfg, out)), cfg.n)
     if args.render and not args.stride:
         print(frame(out))
 
@@ -692,6 +712,9 @@ def build_parser():
     p.add_argument("--apic", type=float, default=0.85)
     p.add_argument("--engine", choices=("dense", "scatter"), default="dense",
                    help="transfer engine: cell-dense (fast) or scatter")
+    p.add_argument("--bin-capacity", type=int, default=0, dest="bin_capacity",
+                   help="cell-dense slots per cell (0 = auto); particles "
+                        "beyond it are dropped and reported")
     _common(p, 200)
     p.set_defaults(fn=cmd_flip)
 
@@ -706,6 +729,9 @@ def build_parser():
     p.add_argument("--rows", type=int, default=40)
     p.add_argument("--engine", choices=("dense", "scatter"),
                    default="dense")
+    p.add_argument("--bin-capacity", type=int, default=0, dest="bin_capacity",
+                   help="cell-dense slots per cell (0 = auto); particles "
+                        "beyond it are dropped and reported")
     _common(p, 500)
     p.set_defaults(fn=cmd_mpm)
 

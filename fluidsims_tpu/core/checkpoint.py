@@ -36,9 +36,26 @@ def load_state(path, like) -> object:
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves)
+    if "__treedef__" in data:
+        saved_td = json.loads(bytes(data["__treedef__"]).decode())
+        if saved_td != str(treedef):
+            raise ValueError(
+                "checkpoint tree structure does not match the template state:\n"
+                f"  saved:    {saved_td}\n  template: {treedef}"
+            )
     restored = []
     for i, ref in enumerate(leaves):
+        if f"leaf_{i}" not in data:
+            raise ValueError(
+                f"checkpoint has {i} leaves but the template state has {n}"
+            )
         a = data[f"leaf_{i}"]
+        ref_shape = getattr(ref, "shape", None)
+        if ref_shape is not None and tuple(a.shape) != tuple(ref_shape):
+            raise ValueError(
+                f"checkpoint leaf {i} shape {tuple(a.shape)} does not match "
+                f"template shape {tuple(ref_shape)}"
+            )
         restored.append(jnp.asarray(a, getattr(ref, "dtype", None)))
     if f"leaf_{n}" in data:
         raise ValueError("checkpoint has more leaves than the template state")

@@ -20,7 +20,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-__all__ = ["TauClock", "tau_tick", "tau_tick_feedback", "cfl_dt"]
+__all__ = ["TauClock", "tau_tick", "tau_tick_feedback", "dtau_feedback", "cfl_dt"]
 
 
 class TauClock(NamedTuple):
@@ -51,26 +51,54 @@ def tau_tick(clock: TauClock, dt_cfl) -> tuple[TauClock, jnp.ndarray]:
     return new, dt
 
 
+def dtau_feedback(
+    dtau,
+    dt,
+    dt_cfl,
+    shrink: float = 0.80,
+    grow: float = 1.10,
+    hi_band: float = 1.10,
+    lo_band: float = 0.85,
+    dtau_min: float = 1e-7,
+    dtau_max: float = 5e-2,
+):
+    """The reference's dτ feedback controller with deadband
+    (tau_hypersonic_3d_cuda.cu:1697-1704, th3cs.cu:1178-1183).
+
+    Shrink dτ 0.8x only when the τ-implied dt overshoots 1.10*dt_cfl; grow
+    1.1x only when it undershoots 0.85*dt_cfl; hold inside the deadband.
+    Clamped to the reference's [1e-7, 5e-2].
+    """
+    return jnp.clip(
+        jnp.where(
+            dt > hi_band * dt_cfl, dtau * shrink,
+            jnp.where(dt < lo_band * dt_cfl, dtau * grow, dtau),
+        ),
+        dtau_min,
+        dtau_max,
+    )
+
+
 def tau_tick_feedback(
     clock: TauClock,
     dt_cfl,
     shrink: float = 0.8,
     grow: float = 1.1,
-    dtau_min: float = 1e-6,
-    dtau_max: float = 0.25,
+    dtau_min: float = 1e-7,
+    dtau_max: float = 5e-2,
 ) -> tuple[TauClock, jnp.ndarray]:
     """τ advance with dτ feedback control (tau_hypersonic_3d_cuda.cu:1697-1704).
 
-    If the τ-implied step exceeded the CFL limit, shrink dτ (0.8x); else grow
-    it (1.1x), clamped to [dtau_min, dtau_max].
+    dt is capped at the CFL limit, and dτ is adjusted by the reference's
+    deadband controller (`dtau_feedback`): shrink 0.8x when the τ-implied dt
+    exceeds 1.10*dt_cfl, grow 1.1x when it falls under 0.85*dt_cfl, hold in
+    between, clamped to the reference's [1e-7, 5e-2].
     """
     dt_tau = clock.t * clock.dtau
-    limited = dt_tau > dt_cfl
     dt = jnp.minimum(dt_tau, dt_cfl)
-    new_dtau = jnp.clip(
-        jnp.where(limited, clock.dtau * shrink, clock.dtau * grow),
-        dtau_min,
-        dtau_max,
+    new_dtau = dtau_feedback(
+        clock.dtau, dt_tau, dt_cfl,
+        shrink=shrink, grow=grow, dtau_min=dtau_min, dtau_max=dtau_max,
     )
     new = TauClock(t=clock.t + dt, tau=clock.tau + clock.dtau, dtau=new_dtau)
     return new, dt

@@ -68,7 +68,8 @@ def benchmark(
     tau_burgers.cu:790-820): warmup (compile) excluded, steps/sec and
     cells/sec (MLUPS analog, tau_lbm.cu:291-294) reported.
     """
-    scan = jax.jit(functools.partial(scan_steps, step_fn))
+    # n_steps feeds lax.scan(length=...) and must be compile-time static.
+    scan = jax.jit(functools.partial(scan_steps, step_fn), static_argnames=("n_steps",))
 
     warm = scan(state, n_steps=max(1, warmup_steps))
     jax.block_until_ready(warm)

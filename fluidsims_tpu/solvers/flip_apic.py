@@ -431,6 +431,23 @@ def density_grid(s: FlipApicState):
     return s.density
 
 
+def overflow_count(cfg: FlipApicConfig, s: FlipApicState):
+    """Particles beyond their cell's K capacity under the dense engine's
+    binning (zero under engine='scatter', which is exact).  Reported by the
+    CLI so clustered splashes can't silently lose physics."""
+    import jax.numpy as jnp
+
+    from ..ops import cell_dense as cd
+
+    if cfg.engine != "dense":
+        return jnp.zeros((), jnp.int32)
+    n = cfg.grid
+    bxp = jnp.clip(jnp.floor(s.pos[:, 0] * (n - 1)).astype(jnp.int32), 0, n - 1)
+    byp = jnp.clip(jnp.floor(s.pos[:, 1] * (n - 1)).astype(jnp.int32), 0, n - 1)
+    grid = cd.DenseGrid(Gx=n, Gy=n, cell=1.0, K=cfg.capacity)
+    return cd.bin_particles(grid, s.pos, cid=byp * n + bxp).overflow
+
+
 def run(cfg: FlipApicConfig, s: FlipApicState, n_steps: int) -> FlipApicState:
     from ..core.stepper import scan_steps
 

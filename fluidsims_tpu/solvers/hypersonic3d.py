@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.clock import dtau_feedback
 from ..core.config import BaseConfig
 from ..ops.limiters import minmod
 from ..ops.weno import weno5_left, weno5_right
@@ -757,13 +758,9 @@ def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
     if wavespeed_reduce is not None:
         maxs = wavespeed_reduce(maxs)
 
-    # dτ feedback controller (:1697-1704)
+    # dτ feedback controller (:1697-1704), shared deadband helper
     dt_cfl = cfg.cfl / jnp.maximum(maxs, 1e-9)
-    dtau = jnp.where(
-        dt > 1.10 * dt_cfl, s.dtau * 0.80,
-        jnp.where(dt < 0.85 * dt_cfl, s.dtau * 1.10, s.dtau),
-    )
-    dtau = jnp.clip(dtau, 1e-7, 5e-2)
+    dtau = dtau_feedback(s.dtau, dt, dt_cfl)
 
     xi2, phix2, phiy2, phiz2, lam2, zet2 = _encode(cfg, q1)
 

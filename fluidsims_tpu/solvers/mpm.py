@@ -412,6 +412,22 @@ def step(cfg: MPMConfig, s: MPMState) -> MPMState:
     return _step_scatter(cfg, s)
 
 
+def overflow_count(cfg: MPMConfig, s: MPMState):
+    """Particles beyond their cell's K capacity under the dense engine's
+    binning (zero under engine='scatter', which is exact).  Reported by the
+    CLI so clustered material can't silently lose physics."""
+    from ..ops import cell_dense as cd
+
+    if cfg.engine != "dense":
+        return jnp.zeros((), jnp.int32)
+    Xp = s.pos / cfg.dx
+    base = jnp.floor(Xp - 0.5).astype(jnp.int32)
+    bx = jnp.clip(base[:, 0], 0, cfg.gx - 1)
+    by = jnp.clip(base[:, 1], 0, cfg.gy - 1)
+    grid = cd.DenseGrid(Gx=cfg.gx, Gy=cfg.gy, cell=cfg.dx, K=cfg.capacity)
+    return cd.bin_particles(grid, s.pos, cid=by * cfg.gx + bx).overflow
+
+
 def run(cfg: MPMConfig, s: MPMState, n_steps: int) -> MPMState:
     from ..core.stepper import scan_steps
 

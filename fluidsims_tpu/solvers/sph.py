@@ -443,6 +443,15 @@ def make_split_stepper(cfg: SPHConfig):
     return frame_step
 
 
+def overflow_count(cfg: SPHConfig, st: SPHState) -> jnp.ndarray:
+    """Particles currently beyond their cell's K capacity (dropped from
+    interactions by the cell-dense layout).  Diagnostic only — the CLI
+    reports it so clustered distributions can't silently lose physics
+    relative to the reference's unbounded linked lists (tau_sph.cu:165-176).
+    """
+    return cd.bin_particles(cfg.grid, st.pos).overflow
+
+
 def rasterize_counts(cfg: SPHConfig, pos, W: int, H: int):
     """Particle counts on a 2x-vertical terminal grid
     (k_rasterize, tau_sph.cu:363-374)."""

@@ -25,6 +25,60 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a.v), np.asarray(b.v))
 
 
+def test_checkpoint_rejects_mismatched_state(tmp_path):
+    """A checkpoint restored into a template with a different tree structure
+    or leaf shapes must fail loudly, not restore garbage."""
+    import pytest
+
+    from fluidsims_tpu.solvers import gray_scott as gs
+
+    cfg = gs.GrayScottConfig(nx=32, ny=16)
+    s = gs.init(cfg)
+    p = tmp_path / "state.npz"
+    ckpt.save_state(p, s)
+
+    # different leaf shapes, same structure
+    other = gs.init(gs.GrayScottConfig(nx=16, ny=16))
+    with pytest.raises(ValueError):
+        ckpt.load_state(p, other)
+
+    # different tree structure entirely (same leaf count)
+    from fluidsims_tpu.core.clock import TauClock as TC
+
+    bogus = TC(t=jnp.zeros(()), tau=jnp.zeros(()), dtau=jnp.zeros(()))
+    with pytest.raises(ValueError):
+        ckpt.load_state(p, bogus)
+
+
+def test_benchmark_runs():
+    """core.stepper.benchmark must work with a static n_steps (ADVICE r1:
+    it previously traced n_steps into lax.scan and always raised)."""
+    from fluidsims_tpu.core.stepper import benchmark
+
+    rep = benchmark(lambda x: x + 1, jnp.zeros((8, 8)), steps=5,
+                    warmup_steps=2, cells=64)
+    assert rep["steps"] == 5 and rep["steps_per_sec"] > 0
+    assert "mcells_per_sec" in rep
+
+
+def test_dtau_feedback_deadband():
+    """The reference controller holds dτ inside the 0.85–1.10 deadband
+    (tau_hypersonic_3d_cuda.cu:1697-1704) and clamps to [1e-7, 5e-2]."""
+    from fluidsims_tpu.core.clock import dtau_feedback
+
+    dtau = jnp.asarray(1e-3)
+    # inside deadband: dt within [0.85, 1.10]*dt_cfl -> hold
+    assert float(dtau_feedback(dtau, 1.0, 1.0)) == float(dtau)
+    assert float(dtau_feedback(dtau, 1.05, 1.0)) == float(dtau)
+    assert float(dtau_feedback(dtau, 0.90, 1.0)) == float(dtau)
+    # overshoot -> shrink 0.8x; undershoot -> grow 1.1x
+    assert abs(float(dtau_feedback(dtau, 1.2, 1.0)) - 0.8e-3) < 1e-9
+    assert abs(float(dtau_feedback(dtau, 0.5, 1.0)) - 1.1e-3) < 1e-9
+    # clamps
+    assert float(dtau_feedback(jnp.asarray(1e-7), 2.0, 1.0)) == 1e-7
+    assert float(dtau_feedback(jnp.asarray(5e-2), 0.1, 1.0)) == 5e-2
+
+
 def test_tau_clock_caps_at_cfl():
     c = TauClock(t=jnp.asarray(10.0), tau=jnp.asarray(0.0),
                  dtau=jnp.asarray(0.1))
@@ -34,12 +88,13 @@ def test_tau_clock_caps_at_cfl():
 
 
 def test_tau_feedback_shrinks_and_grows():
+    # dtau = 1e-2 (inside the reference's [1e-7, 5e-2] clamp); t*dtau = 0.1
     c = TauClock(t=jnp.asarray(10.0), tau=jnp.asarray(0.0),
-                 dtau=jnp.asarray(0.1))
-    c2, _ = tau_tick_feedback(c, jnp.asarray(0.5))   # limited -> shrink
-    assert float(c2.dtau) < 0.1
+                 dtau=jnp.asarray(1e-2))
+    c2, _ = tau_tick_feedback(c, jnp.asarray(0.05))   # overshoot -> shrink
+    assert float(c2.dtau) < 1e-2
     c3, _ = tau_tick_feedback(c, jnp.asarray(100.0))  # headroom -> grow
-    assert float(c3.dtau) > 0.1
+    assert float(c3.dtau) > 1e-2
 
 
 def test_cfl_dt_diffusion_cap():
