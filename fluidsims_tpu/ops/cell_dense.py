@@ -80,10 +80,23 @@ def bin_particles(grid: DenseGrid, pos, cid=None) -> DenseCells:
 
     if cid is None:
         cid = _cid(grid, pos)
-    order = jnp.argsort(cid)
-    sc = cid[order]
-    first = jnp.searchsorted(sc, sc, side="left").astype(jnp.int32)
-    slot = jnp.arange(n, dtype=jnp.int32) - first
+
+    # One packed-key sort replaces argsort + searchsorted (measured 9.3 ms
+    # for searchsorted alone at 65k on v5e): sort (cid << b | idx), then
+    # rank-in-cell = position - first-of-segment via a cummax scan.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    bits = max(1, (n - 1).bit_length())
+    if M << bits <= (1 << 31):
+        skey = jnp.sort((cid << bits) | idx)
+        order = skey & ((1 << bits) - 1)
+        sc = skey >> bits
+    else:  # packed key would overflow int32; fall back to stable argsort
+        order = jnp.argsort(cid).astype(jnp.int32)
+        sc = cid[order]
+    newseg = jnp.concatenate(
+        [jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    first = lax.associative_scan(jnp.maximum, jnp.where(newseg, idx, 0))
+    slot = idx - first
     ok_sorted = slot < K
     didx_sorted = jnp.where(ok_sorted, sc * K + slot, M * K)
 

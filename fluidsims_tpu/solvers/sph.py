@@ -449,7 +449,7 @@ def overflow_count(cfg: SPHConfig, st: SPHState) -> jnp.ndarray:
     reports it so clustered distributions can't silently lose physics
     relative to the reference's unbounded linked lists (tau_sph.cu:165-176).
     """
-    return cd.bin_particles(cfg.grid, st.pos).overflow
+    return cd.bin_particles(cfg.grid(), st.pos).overflow
 
 
 def rasterize_counts(cfg: SPHConfig, pos, W: int, H: int):
