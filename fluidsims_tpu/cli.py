@@ -405,7 +405,8 @@ def cmd_sph(args):
 
     cfg = sph.SPHConfig(n=args.n, dtau=args.dTau, cfl=args.CFL,
                         visc_alpha=args.visc, visc_substeps=args.visc_substeps,
-                        rain=not args.no_rain, dtype=args.dtype)
+                        rain=not args.no_rain, engine=args.engine,
+                        dtype=args.dtype)
     s = sph.init(cfg)
     run = jax.jit(lambda st, n: sph.run(cfg, st, n), static_argnums=1)
 
@@ -699,6 +700,9 @@ def build_parser():
     p.add_argument("--no-rain", action="store_true")
     p.add_argument("--cols", type=int, default=100)
     p.add_argument("--rows", type=int, default=40)
+    p.add_argument("--engine", choices=("auto", "pallas", "xla"),
+                   default="auto",
+                   help="auto = fused Pallas kernels on TPU, XLA elsewhere")
     _common(p, 100)
     p.set_defaults(fn=cmd_sph)
 

@@ -1,0 +1,333 @@
+"""Fused Pallas TPU kernels for the SPH pair interactions.
+
+Behavioral spec: tau_sph.cu:178-266 (k_density_pressure_cell,
+k_forces_cell) + k_integrate (:324-355).  The XLA cell-dense path
+(solvers/sph.py) materializes nine (Gy, Gx, K, K) pair blocks per pass in
+HBM; this engine keeps them in VMEM and fuses density -> EOS and
+forces -> integrate, cutting the pair-interaction HBM traffic to the dense
+field reads/writes alone.
+
+Layout: dense fields are (C, K, Gp) with the flattened cell index on the
+LANE dimension (fully packed 128-lane tiles; the (Gy, Gx, K) layout would
+waste 2.7x of the VPU on a 48-slot capacity).  Neighbor cells are static
+lane shifts of +-1 (x) and +-Gx (y) of the flattened index:
+
+  - the grid is padded by whole 128-cell blocks on both sides, so every
+    shifted window is in bounds;
+  - empty slots and pad cells hold a sentinel position (-1e4), so the
+    r2 < (2h)^2 pair test rejects them with NO occupancy mask at all;
+  - flat-index wraparound (x edges reading the previous/next row) is
+    geometrically rejected by the same r2 test (cells are >= 2h apart).
+
+The binning stays in XLA (ops/cell_dense.bin_rank): one packed-key sort +
+cummax scan + one scatter; the kernels read the scattered dense fields.
+
+Measured on one TPU v5e chip at 65536 particles (K=48, 64x64 cells):
+11.0M particle-steps/s vs 2.84M for the XLA cell-dense path (3.9x; 5.3x
+over the round-1 baseline of 2.07M).  Matches the XLA path to ~1 ulp per
+step (f32 summation-order differences only).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import cell_dense as cd
+from ..solvers import sph as sph_mod
+
+__all__ = ["make_step_pallas", "run_pallas"]
+
+_SENTINEL = -1.0e4  # empty-slot/pad position; far enough that r2 >> (2h)^2
+
+
+def _alpha(h: float) -> float:
+    return 10.0 / (7.0 * math.pi * h * h)
+
+
+def _w_cubic(r, h: float):
+    """Branch-free cubic spline (tau_sph.cu:105-116); safe for sentinel
+    distances (polynomials stay finite in f32 at q ~ 1e6)."""
+    q = r * (1.0 / h)
+    a = _alpha(h)
+    q2 = q * q
+    inner = a * (1.0 - 1.5 * q2 + 0.75 * q2 * q)
+    t = 2.0 - q
+    outer = a * 0.25 * t * t * t
+    return jnp.where(q < 1.0, inner, jnp.where(q < 2.0, outer, 0.0))
+
+
+def _grad_scale(r, inv_r, h: float):
+    """dW/dq / (h*r) with the reference's validity clamp
+    (tau_sph.cu:118-133); multiply by rij to get gradW.  `inv_r` is the
+    caller's rsqrt(r2) so no per-pair division is needed."""
+    q = r * (1.0 / h)
+    a = _alpha(h)
+    dWdq = jnp.where(
+        q < 1.0,
+        a * (-3.0 * q + 2.25 * q * q),
+        a * (-0.75 * (2.0 - q) ** 2),
+    )
+    ok = (r > 1e-8) & (r < 2.0 * h)
+    return jnp.where(ok, dWdq * (1.0 / h) * inv_r, 0.0)
+
+
+def _density_kernel(cfg, offs, hw, *refs):
+    """rho + Tait pressure for one 128-cell block of the dense layout.
+    refs: 2*HB+1 position blocks (2, K, BW), then rho_out, press_out."""
+    n_in = len(refs) - 2
+    pos_refs = refs[:n_in]
+    rho_out, press_out = refs[n_in], refs[n_in + 1]
+    BW = rho_out.shape[-1]
+    h = cfg.h
+
+    w = jnp.concatenate([r[:] for r in pos_refs], axis=-1)  # (2, K, WW)
+    cx = w[0, :, hw:hw + BW]
+    cy = w[1, :, hw:hw + BW]
+
+    rho = jnp.zeros(rho_out.shape, w.dtype)
+    for off in offs:
+        nx = w[0, :, hw + off:hw + off + BW]
+        ny = w[1, :, hw + off:hw + off + BW]
+        dx = cx[:, None, :] - nx[None, :, :]
+        dy = cy[:, None, :] - ny[None, :, :]
+        r2 = dx * dx + dy * dy
+        rho = rho + jnp.sum(_w_cubic(jnp.sqrt(r2), h), axis=1)
+    rho = cfg.mass * rho
+
+    # log-density EOS path (tau_sph.cu:207-213)
+    s = jnp.log(jnp.maximum(rho, 1e-6))
+    rho = jnp.exp(s)
+    ratio = rho * (1.0 / cfg.rho0)
+    if cfg.gamma_eos == 1.0:
+        powed = ratio
+    else:
+        powed = jnp.exp(cfg.gamma_eos * jnp.log(ratio))
+    press = jnp.maximum(
+        (cfg.c0 ** 2) * cfg.rho0 * (powed - 1.0) / cfg.gamma_eos, 0.0)
+    rho_out[:] = rho
+    # p/rho^2 is a per-SLOT quantity: dividing here removes one division
+    # per PAIR from the forces kernel (the pressure-gradient symmetrized
+    # form only ever uses p_i/rho_i^2 + p_j/rho_j^2)
+    rho_safe = jnp.maximum(rho, 1e-30)
+    press_out[:] = press / (rho_safe * rho_safe)
+
+
+def _forces_kernel(cfg, offs, hw, K, *refs):
+    """Pressure-gradient + Monaghan viscosity forces fused with the
+    symplectic-Euler + restitution-wall integrate, one 128-cell block.
+    refs: dt (SMEM), 2*HB+1 state blocks (4, K, BW), 2*HB+1 rho/press
+    blocks (2, K, BW), out (4, K, BW)."""
+    n_in = (len(refs) - 2) // 2
+    dt_ref = refs[0]
+    st_refs = refs[1:1 + n_in]
+    rp_refs = refs[1 + n_in:1 + 2 * n_in]
+    out = refs[-1]
+    BW = out.shape[-1]
+    h = cfg.h
+    h2 = h * h
+
+    w = jnp.concatenate([r[:] for r in st_refs], axis=-1)   # (4, K, WW)
+    rp = jnp.concatenate([r[:] for r in rp_refs], axis=-1)  # (2, K, WW)
+    cx = w[0, :, hw:hw + BW]
+    cy = w[1, :, hw:hw + BW]
+    cvx = w[2, :, hw:hw + BW]
+    cvy = w[3, :, hw:hw + BW]
+    crho = rp[0, :, hw:hw + BW]    # rho per slot
+    cpt = rp[1, :, hw:hw + BW]     # p/rho^2 per slot (density kernel)
+
+    rho_i = jnp.maximum(crho[:, None, :], 1e-30)
+    pterm_i = cpt[:, None, :]
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (K, K, 1), 1)
+    not_self = ii != jj
+
+    ax = jnp.zeros(cx.shape, w.dtype)
+    ay = jnp.zeros(cx.shape, w.dtype)
+    for off in offs:
+        sl = slice(hw + off, hw + off + BW)
+        dx = cx[:, None, :] - w[0, :, sl][None, :, :]
+        dy = cy[:, None, :] - w[1, :, sl][None, :, :]
+        r2 = dx * dx + dy * dy
+        valid = (r2 < (2.0 * h) ** 2) & (r2 > 1e-16)
+        if off == 0:
+            valid = valid & not_self
+        r2s = jnp.maximum(r2, 1e-30)
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        scale = _grad_scale(r, inv_r, h)
+
+        common = -cfg.mass * (pterm_i + rp[1, :, sl][None, :, :])
+
+        if cfg.use_visc:
+            vijx = cvx[:, None, :] - w[2, :, sl][None, :, :]
+            vijy = cvy[:, None, :] - w[3, :, sl][None, :, :]
+            dot = vijx * dx + vijy * dy
+            rho_bar = 0.5 * (rho_i
+                             + jnp.maximum(rp[0, :, sl][None, :, :], 1e-30))
+            # mu/rho_bar folded into one division:
+            # pi = -alpha*c0*h*dot / ((r2 + 0.01h^2) * rho_bar)
+            pi_ij = jnp.where(
+                dot < 0.0,
+                (-cfg.visc_alpha * cfg.c0 * h) * dot
+                / ((r2 + 0.01 * h2) * rho_bar),
+                0.0)
+            common = common - cfg.mass * pi_ij
+
+        c = jnp.where(valid, common * scale, 0.0)
+        ax = ax + jnp.sum(c * dx, axis=1)
+        ay = ay + jnp.sum(c * dy, axis=1)
+
+    if cfg.use_grav:
+        ay = ay - cfg.gravity
+
+    # fused k_integrate (tau_sph.cu:324-355); garbage motion of sentinel
+    # slots is discarded (they are never gathered back)
+    e = 0.2
+    dt = dt_ref[0, 0]
+    vx = cvx + ax * dt
+    vy = cvy + ay * dt
+    x = cx + vx * dt
+    y = cy + vy * dt
+    lo_x, hi_x = x < 0.0, x > cfg.box_x
+    lo_y, hi_y = y < 0.0, y > cfg.box_y
+    out[0] = jnp.where(lo_x, 0.0, jnp.where(hi_x, cfg.box_x, x))
+    out[1] = jnp.where(lo_y, 0.0, jnp.where(hi_y, cfg.box_y, y))
+    out[2] = jnp.where(lo_x | hi_x, -e * vx, vx)
+    out[3] = jnp.where(lo_y | hi_y, -e * vy, vy)
+
+
+def make_step_pallas(cfg: sph_mod.SPHConfig, interpret: bool = False):
+    """Build a frame-step function (state -> state) on the fused kernels.
+
+    Matches solvers/sph.step semantics (substeps, rain, tau bookkeeping)
+    within f32 summation-order differences.  XSPH is not supported here
+    (cfg.use_xsph must be False); use the XLA path for that mode.
+    """
+    if cfg.use_xsph:
+        raise ValueError("pallas SPH engine does not implement XSPH")
+    grid = cfg.grid()
+    Gx, Gy, K = grid.Gx, grid.Gy, grid.K
+    G = Gx * Gy
+    if K % 8:
+        raise ValueError(f"cell capacity K={K} must be a multiple of 8")
+    BW = 128 if G % 128 == 0 else math.gcd(G, 128)
+    if not interpret and BW != 128:
+        raise ValueError(
+            f"grid cells {Gx}x{Gy}={G} must be a multiple of 128 on TPU")
+    HB = -(-(Gx + 1) // BW)       # halo blocks per side; covers |off|<=Gx+1
+    PAD = HB * BW
+    Gp = G + 2 * PAD
+    hw = PAD                      # center offset inside the halo window
+    n_blocks = G // BW
+    n_copies = 2 * HB + 1
+    offs = [oy * Gx + ox for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
+    dtype = cfg.jax_dtype
+
+    def _halo_specs(ch):
+        return [
+            pl.BlockSpec((ch, K, BW),
+                         functools.partial(lambda i, o: (0, 0, i + o), o=o),
+                         memory_space=pltpu.VMEM)
+            for o in range(n_copies)
+        ]
+
+    density_call = pl.pallas_call(
+        functools.partial(_density_kernel, cfg, offs, hw),
+        grid=(n_blocks,),
+        in_specs=_halo_specs(2),
+        out_specs=[pl.BlockSpec((K, BW), lambda i: (0, i),
+                                memory_space=pltpu.VMEM) for _ in range(2)],
+        out_shape=[jax.ShapeDtypeStruct((K, G), dtype) for _ in range(2)],
+        interpret=interpret,
+    )
+
+    forces_call = pl.pallas_call(
+        functools.partial(_forces_kernel, cfg, offs, hw, K),
+        grid=(n_blocks,),
+        in_specs=(
+            [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                          memory_space=pltpu.SMEM)]
+            + _halo_specs(4) + _halo_specs(2)
+        ),
+        out_specs=pl.BlockSpec((4, K, BW), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, K, G), dtype),
+        interpret=interpret,
+    )
+
+    fill = jnp.asarray([_SENTINEL, _SENTINEL, 0.0, 0.0], dtype)[:, None]
+
+    def substep(pos, vel, dt_sub):
+        n = pos.shape[0]
+        rank, ok, _ = cd.bin_rank(grid, pos)
+        cid = cd._cid(grid, pos)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        flat = jnp.where(ok, rank * Gp + PAD + cid, K * Gp + iota)
+
+        vals = jnp.concatenate([pos, vel], axis=1)            # (n, 4)
+        dense = jnp.broadcast_to(fill.T, (K * Gp, 4)).at[flat].set(
+            vals, mode="drop", unique_indices=True).T.reshape(4, K, Gp)
+
+        rho, press = density_call(*([dense[:2]] * n_copies))
+        rp = jnp.pad(jnp.stack([rho, press]), ((0, 0), (0, 0), (PAD, PAD)))
+
+        dt2d = jnp.reshape(dt_sub.astype(dtype), (1, 1))
+        out = forces_call(dt2d, *([dense] * n_copies), *([rp] * n_copies))
+
+        got = out.reshape(4, K * G).T[jnp.where(ok, rank * G + cid, 0)]
+        pos2 = got[:, :2]
+        vel2 = got[:, 2:]
+
+        # overflow particles never entered the dense layout: integrate them
+        # with zero pair force (gather_result fill=0 semantics of the XLA
+        # path) + gravity
+        acc0 = jnp.zeros_like(pos)
+        if cfg.use_grav:
+            acc0 = acc0 + jnp.asarray([0.0, -cfg.gravity], dtype)
+        posd, veld = sph_mod._integrate(cfg, pos, vel, acc0, dt_sub)
+        pos = jnp.where(ok[:, None], pos2, posd)
+        vel = jnp.where(ok[:, None], vel2, veld)
+        return pos, vel
+
+    def step(st: sph_mod.SPHState) -> sph_mod.SPHState:
+        Ksub = cfg.visc_substeps
+        dt_try = st.t * cfg.dtau
+        dt_cfl = cfg.cfl * cfg.h / (cfg.c0 * (1.0 + 2.0 * cfg.visc_alpha))
+        dt_sub = jnp.minimum(dt_try, dt_cfl) / Ksub
+
+        pos, vel = st.pos, st.vel
+        rain_carry = st.rain_carry
+        t = st.t
+        dtau_accum = jnp.asarray(0.0, st.t.dtype)
+        for _ in range(Ksub):
+            pos, vel = substep(pos, vel, dt_sub)
+            if cfg.rain:
+                rain_carry = rain_carry + 0.02 * cfg.n * dt_sub
+                nspawn = jnp.minimum(jnp.floor(rain_carry),
+                                     sph_mod._RAIN_MAX).astype(jnp.int32)
+                rain_carry = rain_carry - nspawn
+                pos, vel = sph_mod._rain(cfg, pos, vel, nspawn,
+                                         cfg.seed + st.step_idx)
+            dtau_actual = dt_sub / jnp.maximum(t, 1e-9)
+            dtau_accum = dtau_accum + dtau_actual
+            t = cfg.t0 * jnp.exp(st.tau + dtau_accum)
+
+        return sph_mod.SPHState(
+            pos=pos, vel=vel, t=t, tau=st.tau + dtau_accum,
+            rain_carry=rain_carry, step_idx=st.step_idx + 1,
+        )
+
+    return step
+
+
+def run_pallas(cfg, st, n_steps: int, interpret: bool = False):
+    from ..core.stepper import scan_steps
+
+    return scan_steps(make_step_pallas(cfg, interpret), st, n_steps)

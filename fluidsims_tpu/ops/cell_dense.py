@@ -29,7 +29,7 @@ import numpy as np
 from jax import lax
 
 __all__ = ["DenseCells", "DenseGrid", "make_dense_grid", "bin_particles",
-           "scatter_field", "gather_result", "shift_cells",
+           "bin_rank", "scatter_field", "gather_result", "shift_cells",
            "NEIGHBOR_OFFSETS_2D"]
 
 NEIGHBOR_OFFSETS_2D = [(ox, oy) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
@@ -114,6 +114,35 @@ def bin_particles(grid: DenseGrid, pos, cid=None) -> DenseCells:
     return DenseCells(didx=didx, ok=ok,
                       occ=occ.reshape(grid.Gy, grid.Gx, K),
                       overflow=overflow, inv=inv)
+
+
+def bin_rank(grid: DenseGrid, pos, cid=None):
+    """Lean binning: per-particle rank within its cell, in particle order.
+
+    Same packed-sort + cummax-scan machinery as bin_particles, but skips
+    the slot->particle inverse map (one scatter saved) for callers that
+    scatter field VALUES directly by (cell, rank) — the Pallas SPH engine.
+    Returns (rank, ok, overflow) with ok = rank < grid.K.
+    """
+    n = pos.shape[0]
+    M = grid.Gx * grid.Gy
+    if cid is None:
+        cid = _cid(grid, pos)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    bits = max(1, (n - 1).bit_length())
+    if M << bits <= (1 << 31):
+        skey = jnp.sort((cid << bits) | idx)
+        order = skey & ((1 << bits) - 1)
+        sc = skey >> bits
+    else:
+        order = jnp.argsort(cid).astype(jnp.int32)
+        sc = cid[order]
+    newseg = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    first = lax.associative_scan(jnp.maximum, jnp.where(newseg, idx, 0))
+    slot = idx - first
+    rank = jnp.zeros(n, jnp.int32).at[order].set(slot, unique_indices=True)
+    ok = rank < grid.K
+    return rank, ok, n - jnp.sum(ok)
 
 
 def scatter_field(grid: DenseGrid, cells: DenseCells, f):

@@ -16,9 +16,13 @@ scattered into a (Gy, Gx, K) array-of-cells once per substep, the two
 3x3-cell neighbor traversals become shifted-array (Gy, Gx, K, K) dense pair
 blocks (pure VPU arithmetic, no gathers), and results return to particle
 order with one small gather per output.  Static shapes, no data-dependent
-loops, the whole step compiles as one jit.  Measured 2.3M particle-steps/s
-at 65k particles on one v5e chip (the per-particle-gather formulation ran
-87x slower and crashed this environment's TPU compiler at 65k).
+loops, the whole step compiles as one jit.
+
+Two engines (resolve_engine): 'xla' is the dataflow path above (2.8M
+particle-steps/s at 65k on one v5e chip); 'pallas' fuses the pair passes
+in VMEM (kernels/sph_pallas.py, 11.0M particle-steps/s, same physics to
+f32 summation order).  The per-particle-gather formulation this replaced
+ran 87x slower still and crashed the TPU compiler at 65k.
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ from ..core.config import BaseConfig
 from ..ops import cell_dense as cd
 
 __all__ = ["SPHConfig", "SPHState", "init", "step", "run", "density",
-           "rasterize_counts"]
+           "resolve_engine", "rasterize_counts"]
 
 
 @dataclass(frozen=True)
@@ -59,6 +63,7 @@ class SPHConfig(BaseConfig):
     rain: bool = True
     seed: int = 69420
     cell_capacity: int = 0   # 0 = auto (8x mean occupancy, min 32)
+    engine: str = "auto"     # auto | pallas | xla
     dtype: str = "float32"
 
     def validate(self):
@@ -66,6 +71,8 @@ class SPHConfig(BaseConfig):
         self._require(self.box_x > 0 and self.box_y > 0, "box must be positive")
         self._require(self.c0 > 0, "c0 must be positive")
         self._require(self.visc_substeps >= 1, "visc_substeps >= 1")
+        self._require(self.engine in ("auto", "pallas", "xla"),
+                      "engine must be auto, pallas or xla")
 
     @property
     def area(self):
@@ -335,7 +342,46 @@ def _rain(cfg, pos, vel, nspawn, seed):
     return pos, vel
 
 
+def resolve_engine(cfg: SPHConfig) -> str:
+    """Static engine choice: the fused Pallas kernels
+    (kernels/sph_pallas.py) when eligible on TPU, the XLA cell-dense path
+    otherwise.  Pallas requires f32, no XSPH, K%8==0 and cells%128==0."""
+    if cfg.engine == "xla":
+        return "xla"
+    g = cfg.grid()
+    eligible = (
+        not cfg.use_xsph
+        and cfg.dtype == "float32"
+        and g.K % 8 == 0
+    )
+    if cfg.engine == "pallas":
+        if not eligible:
+            raise ValueError(
+                "engine='pallas' requires f32, use_xsph=False and "
+                "capacity % 8 == 0")
+        return "pallas"
+    import jax
+
+    # auto: compiled Pallas additionally needs whole 128-cell lane blocks
+    return ("pallas"
+            if (eligible and jax.default_backend() == "tpu"
+                and (g.Gx * g.Gy) % 128 == 0)
+            else "xla")
+
+
 def step(cfg: SPHConfig, st: SPHState) -> SPHState:
+    """One frame step, on the engine picked by `resolve_engine`."""
+    if resolve_engine(cfg) == "pallas":
+        import jax
+
+        from ..kernels.sph_pallas import make_step_pallas
+
+        # off-TPU an explicit engine='pallas' runs interpreted (for tests)
+        return make_step_pallas(cfg, interpret=jax.default_backend() != "tpu")(st)
+    return _step_xla(cfg, st)
+
+
+def _step_xla(cfg: SPHConfig, st: SPHState) -> SPHState:
     """One frame step = K substeps of build-cells -> density -> forces ->
     integrate -> (xsph) -> (rain), with τ bookkeeping per substep
     (main loop, tau_sph.cu:659-722)."""

@@ -136,6 +136,57 @@ def test_split_stepper_matches_step():
     np.testing.assert_allclose(float(a.tau), float(b.tau), rtol=1e-6)
 
 
+def test_pallas_engine_matches_xla():
+    """The fused Pallas engine (kernels/sph_pallas.py, interpreted off-TPU)
+    must track the XLA cell-dense path to f32 summation-order tolerance,
+    including the rain emitter and tau bookkeeping."""
+    from fluidsims_tpu.kernels import sph_pallas as sp
+
+    cfg = sph.SPHConfig(n=1024, rain=True, seed=7, dtau=1e-2)
+    st = sph.init(cfg)
+    step_p = sp.make_step_pallas(cfg, interpret=True)
+    a, b = st, st
+    for _ in range(5):
+        a = step_p(a)
+        b = sph._step_xla(cfg, b)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(a.tau), float(b.tau), rtol=1e-6)
+
+
+def test_pallas_engine_overflow_fallback_matches_xla():
+    """Particles dropped by a deliberately tiny bin capacity must follow
+    the same zero-pair-force integrate as the XLA path."""
+    from fluidsims_tpu.kernels import sph_pallas as sp
+
+    cfg = sph.SPHConfig(n=512, rain=False, seed=3, cell_capacity=8)
+    st = sph.init(cfg)
+    assert int(sph.overflow_count(cfg, st)) > 0  # capacity really overflows
+    a = sp.make_step_pallas(cfg, interpret=True)(st)
+    b = sph._step_xla(cfg, st)
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               atol=2e-6)
+
+
+def test_resolve_engine():
+    """Engine gating: f64/XSPH/ragged grids fall back to XLA; explicit
+    pallas with an ineligible config raises."""
+    import pytest
+
+    assert sph.resolve_engine(sph.SPHConfig(n=1024, engine="xla")) == "xla"
+    assert sph.resolve_engine(
+        sph.SPHConfig(n=1024, dtype="float64")) == "xla"
+    assert sph.resolve_engine(
+        sph.SPHConfig(n=1024, use_xsph=True)) == "xla"
+    assert sph.resolve_engine(
+        sph.SPHConfig(n=1024, engine="pallas")) == "pallas"
+    with pytest.raises(ValueError):
+        sph.resolve_engine(
+            sph.SPHConfig(n=1024, engine="pallas", dtype="float64"))
+
+
 def test_full_step_matches_allpairs_oracle_f64():
     """Full-pipeline cross-check vs the independent all-pairs float64
     oracle (tests/oracles/sph_oracle.py): density/EOS, forces with
