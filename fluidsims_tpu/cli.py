@@ -80,8 +80,11 @@ def _run_headless(run_jit, state, steps, name, cells=None, chunk=50,
         _bench_report(name, done, time.perf_counter() - t0, cells)
         return _maybe_save(args, out)
 
+    chunk = min(chunk, steps)  # avoid compiling an unused chunk size
     reps, rem = divmod(steps, chunk)
     warm = run_jit(state, chunk)
+    if rem:
+        warm = run_jit(warm, rem)
     jax.block_until_ready(warm)
     _ = np.asarray(jax.tree_util.tree_leaves(warm)[0]).ravel()[:1]
 
@@ -378,7 +381,7 @@ def cmd_stam3d(args):
     from .solvers import stam3d
 
     cfg = stam3d.Stam3DConfig(n=args.n, dtype=args.dtype,
-                              advect_k=args.advect_k)
+                              advect_k=args.advect_k, engine=args.engine)
     s = stam3d.init(cfg)
     run = jax.jit(lambda st, n: stam3d.run(cfg, st, n), static_argnums=1)
 
@@ -393,6 +396,15 @@ def cmd_stam3d(args):
 
     out = _run_headless(run, s, args.steps, "stam3d", cells=cfg.n**3,
                         args=args, frame_fn=frame)
+    if cfg.advect_k >= 1:
+        capped = int(stam3d.advect_capped_count(cfg, out))
+        if capped:
+            import sys
+
+            print(f"WARNING: {capped} cells exceeded the advect_k="
+                  f"{cfg.advect_k} backtrace cap on the final frame; raise "
+                  "--advect-k (or --advect-k 0 for the exact gather path)",
+                  file=sys.stderr)
     if args.render and not args.stride:
         print(frame(out))
 
@@ -684,10 +696,13 @@ def build_parser():
     p.add_argument("--n", type=int, default=192)
     p.add_argument("--cols", type=int, default=100)
     p.add_argument("--rows", type=int, default=40)
-    p.add_argument("--advect-k", type=int, default=0,
-                   help="0 = exact gather advection; K >= 1 = dense-shift "
-                        "advection, exact for backtraces <= K cells and "
-                        "~10x faster on TPU (try 2)")
+    p.add_argument("--advect-k", type=int, default=2,
+                   help="0 = exact gather advection (slow on TPU); K >= 1 "
+                        "= dense-shift advection, exact for backtraces <= "
+                        "K cells (capped cells are reported)")
+    p.add_argument("--engine", choices=("auto", "pallas", "xla"),
+                   default="auto",
+                   help="auto = fused Pallas kernels on TPU, XLA elsewhere")
     _common(p, 20)
     p.set_defaults(fn=cmd_stam3d)
 

@@ -162,6 +162,61 @@ def test_stam3d_dense_advection_full_step():
     assert np.isfinite(np.asarray(out.u)).all()
 
 
+def test_stam3d_pallas_engine_matches_xla():
+    """The fused Pallas step (interpreted off-TPU) must track the XLA path
+    to f32 reassociation tolerance: the Jacobi kernel is bit-identical,
+    the advection differs only in summation order."""
+    from fluidsims_tpu.kernels import stam3d_pallas as sp
+
+    cfg = stam3d.Stam3DConfig(n=16, advect_k=2)
+    s = stam3d.init(cfg)
+    step_p = sp.make_step_pallas(cfg, interpret=True)
+    a, b = s, s
+    for _ in range(3):
+        a = step_p(a)
+        b = stam3d._step_xla(cfg, b)
+    np.testing.assert_allclose(np.asarray(a.d), np.asarray(b.d), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u), atol=5e-6)
+
+
+def test_stam3d_pallas_lin_solve_bitwise():
+    """The banded VMEM Jacobi must reproduce _lin_solve's ping-pong ghost
+    semantics exactly (zero difference), including nonzero ghost rings."""
+    from fluidsims_tpu.kernels import stam3d_pallas as sp
+
+    cfg = stam3d.Stam3DConfig(n=16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(18, 18, 18)), jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(18, 18, 18)), jnp.float32)
+    solve = sp.make_lin_solve_pallas(cfg.n, 1.0, 6.0, cfg.jacobi_iters,
+                                     interpret=True)
+    got = np.asarray(solve(x, x0))
+    ref = np.asarray(stam3d._lin_solve(cfg, x, x0, 1.0, 6.0))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_stam3d_resolve_engine_and_capped_count():
+    import pytest
+
+    assert stam3d.resolve_engine(
+        stam3d.Stam3DConfig(n=16, engine="xla")) == "xla"
+    assert stam3d.resolve_engine(
+        stam3d.Stam3DConfig(n=16, advect_k=0)) == "xla"  # gather path
+    assert stam3d.resolve_engine(
+        stam3d.Stam3DConfig(n=16, engine="pallas")) == "pallas"
+    with pytest.raises(ValueError):
+        stam3d.resolve_engine(
+            stam3d.Stam3DConfig(n=16, engine="pallas", advect_k=0))
+
+    # capped count: zero for a calm field, nonzero for a violent one
+    cfg = stam3d.Stam3DConfig(n=16, advect_k=2)
+    s = stam3d.init(cfg)
+    calm = s._replace(u=s.u * 0, v=s.v * 0, w=s.w * 0)
+    assert int(stam3d.advect_capped_count(cfg, calm)) == 0
+    wild = s._replace(u=jnp.ones_like(s.u) * 50.0)
+    assert int(stam3d.advect_capped_count(cfg, wild)) > 0
+
+
 def test_mhd_matches_loop_oracle_f64():
     """Full-pipeline cross-check vs the independent per-cell float64 oracle
     (tests/oracles/mhd_oracle.py), Brio-Wu in the parity flux mode."""
@@ -186,7 +241,9 @@ def test_stam3d_matches_loop_oracle_f64():
     alternating ghost ring, set_bnd placement, trilinear advection."""
     from tests.oracles.stam3d_oracle import Stam3DOracle
 
-    cfg = stam3d.Stam3DConfig(n=12, dtype="float64")
+    # advect_k=0 pins the exact-gather advection the oracle transcribes
+    # (the shipping default is the dense-shift form, advect_k=2)
+    cfg = stam3d.Stam3DConfig(n=12, dtype="float64", advect_k=0)
     s = stam3d.init(cfg)
     orc = Stam3DOracle(cfg, *[np.asarray(getattr(s, f)) for f in
                               ("u", "v", "w", "u0", "v0", "w0", "d", "d0")],
