@@ -1,24 +1,41 @@
 #!/usr/bin/env python
 """Headless benchmark entry point for the driver.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints the driver metric (flagship 2-D hypersonic steps/sec at 2048^2 f32,
+the BASELINE.json target) as the FIRST JSON line, then one JSON line per
+solver so regressions anywhere in the framework are driver-visible
+(VERDICT r1 item 7).  Each line: {"metric", "value", "unit",
+"vs_baseline"} with vs_baseline computed against the recorded
+prior-round value (BENCH_SWEEP.json from a previous run if present, else
+the hardcoded round-1 table).  The full sweep is also written to
+BENCH_SWEEP.json.
 
-Benchmarks the flagship 2-D hypersonic solver at 2048x2048 float32 (the
-BASELINE.json target metric: steps/sec at 2048^2 hypersonic grid on one
-chip), using the fused Pallas kernel when it compiles (XLA dataflow
-fallback otherwise).  The reference publishes no numbers (BASELINE.md), so
-vs_baseline is reported against the recorded prior-round value when
-available, else 1.0.  A secondary SPH particle-steps/sec line goes to
-stderr.
-
-Env overrides: FST_BENCH_NX / FST_BENCH_NY / FST_BENCH_STEPS / FST_BENCH_IMPL
-(pallas|xla) / FST_BENCH_SPH=0 to skip the secondary metric.
+Env overrides: FST_BENCH_NX / FST_BENCH_NY / FST_BENCH_STEPS /
+FST_BENCH_IMPL (pallas|xla) / FST_BENCH_SWEEP=0 to skip the per-solver
+sweep / FST_BENCH_SPH=0 to skip the legacy SPH stderr line.
 """
 
 import json
 import os
 import sys
 import time
+
+# round-1 values (BASELINE.md) used when no prior BENCH_SWEEP.json exists
+PRIOR = {
+    "hypersonic2d_2048x2048_steps_per_sec": 218.7,
+    "gray_scott_2048x2048_steps_per_sec": 3872.0,
+    "burgers_512x512_steps_per_sec": 5448.0,
+    "shallow_water_512x512_steps_per_sec": 7633.0,
+    "mhd_320x220_steps_per_sec": 5976.0,
+    "lbm_2048x1024_mlups": 2500.0,
+    "sph_65536_mpsps": 2.07,
+    "flip_65536_mpsps": 5.4,
+    "mpm_32768_mpsps": 5.2,
+    "hypersonic3d_64_steps_per_sec": 525.0,
+    "stam2d_512x512_steps_per_sec": 32.0,
+    "stam3d_192_steps_per_sec": 4.5,
+    "nbody_131072_steps_per_sec": 18.7,
+}
 
 
 def _sync(x):
@@ -27,8 +44,29 @@ def _sync(x):
     return np.asarray(x).ravel()[:1]
 
 
-def bench_hypersonic(jax, nx, ny, steps, impl):
+def _sync_tree(o):
+    import jax
+
+    return _sync(jax.tree_util.tree_leaves(o)[0])
+
+
+def _chunked(jax, step_fn, state, total, chunk):
+    """Wall-clock steps/sec over `total` steps in `chunk`-step scans,
+    warmup (compile) excluded, hard host sync bracketing."""
     from fluidsims_tpu.core.stepper import scan_steps
+
+    run = jax.jit(lambda s: scan_steps(step_fn, s, chunk))
+    out = run(state)
+    _sync_tree(out)
+    reps = max(1, total // chunk)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(out)
+    _sync_tree(out)
+    return reps * chunk / (time.perf_counter() - t0)
+
+
+def bench_hypersonic(jax, nx, ny, steps, impl):
     from fluidsims_tpu.solvers import hypersonic2d as h2
 
     cfg = h2.default_config(nx=nx, ny=ny)
@@ -53,37 +91,108 @@ def bench_hypersonic(jax, nx, ny, steps, impl):
     if step_fn is None:
         step_fn = lambda s: h2.step(cfg, s)  # noqa: E731
 
-    # chunked lax.scan: per-dispatch tunnel latency (~0.8 ms) otherwise
-    # dominates and underreports device throughput
-    run = jax.jit(lambda s: scan_steps(step_fn, s, chunk))
-    out = run(state)
-    _sync(out.t)
-
-    reps = max(1, steps // chunk)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run(out)
-    _sync(out.t)
-    wall = time.perf_counter() - t0
-    return reps * chunk / wall, used, cfg
+    rate = _chunked(jax, step_fn, state, max(steps, chunk), chunk)
+    return rate, used, cfg
 
 
-def bench_sph(jax, steps=50):
-    from fluidsims_tpu.solvers import sph
+def _sweep(jax):
+    """One (metric, value, unit) per solver, each at its reference-default
+    size.  Kept small enough that the whole sweep stays in minutes."""
+    import fluidsims_tpu.solvers.burgers as bg
+    import fluidsims_tpu.solvers.flip_apic as fa
+    import fluidsims_tpu.solvers.gray_scott as gs
+    import fluidsims_tpu.solvers.hypersonic3d as h3
+    import fluidsims_tpu.solvers.lbm as lbm
+    import fluidsims_tpu.solvers.mhd as mhd
+    import fluidsims_tpu.solvers.mpm as mpm
+    import fluidsims_tpu.solvers.nbody_graph as nb
+    import fluidsims_tpu.solvers.shallow_water as sw
+    import fluidsims_tpu.solvers.sph as sph
+    import fluidsims_tpu.solvers.stam2d as s2
+    import fluidsims_tpu.solvers.stam3d as s3
 
-    cfg = sph.SPHConfig(n=1 << 16, rain=False)
-    state = sph.init(cfg)
-    run = jax.jit(lambda s: sph.run(cfg, s, 10))
-    out = run(state)
-    _sync(out.t)
-    t0 = time.perf_counter()
-    o = state
-    for _ in range(steps // 10):
-        o = run(o)
-    _sync(o.t)
-    wall = time.perf_counter() - t0
-    n_steps = 10 * (steps // 10)
-    return cfg.n * n_steps / wall
+    def gray_scott():
+        cfg = gs.GrayScottConfig(nx=2048, ny=2048)
+        r = _chunked(jax, lambda s: gs.step(cfg, s), gs.init(cfg), 200, 100)
+        return "gray_scott_2048x2048_steps_per_sec", r, "steps/sec"
+
+    def burgers():
+        cfg = bg.BurgersConfig(nx=512, ny=512)
+        r = _chunked(jax, lambda s: bg.step(cfg, s), bg.init(cfg), 400, 100)
+        return "burgers_512x512_steps_per_sec", r, "steps/sec"
+
+    def shallow_water():
+        cfg = sw.ShallowWaterConfig(nx=512, ny=512)
+        r = _chunked(jax, lambda s: sw.step(cfg, s), sw.init(cfg), 400, 100)
+        return "shallow_water_512x512_steps_per_sec", r, "steps/sec"
+
+    def mhd_b():
+        cfg = mhd.MHDConfig()
+        r = _chunked(jax, lambda s: mhd.step(cfg, s), mhd.init(cfg), 400, 100)
+        return "mhd_320x220_steps_per_sec", r, "steps/sec"
+
+    def lbm_b():
+        cfg = lbm.LBMConfig(nx=2048, ny=1024)
+        r = _chunked(jax, lambda s: lbm.step(cfg, s), lbm.init(cfg), 200, 50)
+        return "lbm_2048x1024_mlups", r * cfg.nx * cfg.ny / 1e6, "MLUPS"
+
+    def sph_b():
+        cfg = sph.SPHConfig(n=1 << 16, rain=False)
+        r = _chunked(jax, lambda s: sph.step(cfg, s), sph.init(cfg), 100, 10)
+        return "sph_65536_mpsps", r * cfg.n / 1e6, "M particle-steps/sec"
+
+    def flip_b():
+        cfg = fa.FlipApicConfig()
+        r = _chunked(jax, lambda s: fa.step(cfg, s), fa.init(cfg), 100, 10)
+        return "flip_65536_mpsps", r * cfg.particles / 1e6, \
+            "M particle-steps/sec"
+
+    def mpm_b():
+        cfg = mpm.MPMConfig()
+        r = _chunked(jax, lambda s: mpm.step(cfg, s), mpm.init(cfg), 100, 10)
+        return "mpm_32768_mpsps", r * cfg.n / 1e6, "M particle-steps/sec"
+
+    def hyp3d():
+        cfg = h3.Hypersonic3DConfig()
+        state = h3.init(cfg)
+        try:
+            from fluidsims_tpu.kernels import hypersonic3d_pallas as hp3
+
+            step = hp3.make_step_pallas(cfg)
+            _sync_tree(jax.jit(step)(state))
+        except Exception:
+            step = lambda s: h3.step(cfg, s)  # noqa: E731
+        r = _chunked(jax, step, state, 100, 25)
+        return "hypersonic3d_64_steps_per_sec", r, "steps/sec"
+
+    def stam2d_b():
+        cfg = s2.Stam2DConfig()
+        r = _chunked(jax, lambda s: s2.step(cfg, s), s2.init(cfg), 40, 10)
+        return "stam2d_512x512_steps_per_sec", r, "steps/sec"
+
+    def stam3d_b():
+        cfg = s3.Stam3DConfig()  # engine auto -> pallas on TPU, advect_k=2
+        r = _chunked(jax, lambda s: s3.step(cfg, s), s3.init(cfg), 20, 5)
+        return "stam3d_192_steps_per_sec", r, "steps/sec"
+
+    def nbody_b():
+        cfg = nb.GraphLayoutConfig(max_number=1 << 17)
+        r = _chunked(jax, lambda s: nb.step(cfg, s), nb.init(cfg), 20, 5)
+        return "nbody_131072_steps_per_sec", r, "steps/sec"
+
+    return [gray_scott, burgers, shallow_water, mhd_b, lbm_b, sph_b,
+            flip_b, mpm_b, hyp3d, stam2d_b, stam3d_b, nbody_b]
+
+
+def _load_prior():
+    prior = dict(PRIOR)
+    try:
+        with open("BENCH_SWEEP.json") as f:
+            for rec in json.load(f):
+                prior[rec["metric"]] = rec["value"]
+    except Exception:
+        pass
+    return prior
 
 
 def main():
@@ -100,40 +209,49 @@ def main():
     ny = int(os.environ.get("FST_BENCH_NY", "2048"))
     steps = int(os.environ.get("FST_BENCH_STEPS", "100"))
     impl = os.environ.get("FST_BENCH_IMPL", "auto")
+    prior = _load_prior()
 
     value, used, cfg = bench_hypersonic(jax, nx, ny, steps, impl)
-
-    prior = None
-    for fname in sorted(os.listdir(".")):
-        if fname.startswith("BENCH_r") and fname.endswith(".json"):
-            try:
-                with open(fname) as f:
-                    rec = json.load(f)
-                if rec.get("metric", "").startswith("hypersonic2d"):
-                    prior = rec.get("value")
-            except Exception:
-                pass
-    vs = value / prior if prior else 1.0
-
-    print(json.dumps({
-        "metric": f"hypersonic2d_{nx}x{ny}_steps_per_sec",
+    key = f"hypersonic2d_{nx}x{ny}_steps_per_sec"
+    records = [{
+        "metric": key,
         "value": round(value, 3),
         "unit": "steps/sec",
-        "vs_baseline": round(vs, 3),
-    }))
+        "vs_baseline": round(value / prior[key], 3) if prior.get(key) else 1.0,
+    }]
+    print(json.dumps(records[0]), flush=True)
     print(
         f"# {nx}x{ny} f32 [{used}], {steps} steps "
         f"({nx * ny * value / 1e6:.1f} Mcell-steps/s) on {jax.devices()[0]}",
         file=sys.stderr,
     )
 
-    if os.environ.get("FST_BENCH_SPH", "1") != "0":
+    if os.environ.get("FST_BENCH_SWEEP", "1") != "0":
+        for fn in _sweep(jax):
+            try:
+                metric, val, unit = fn()
+            except Exception as e:
+                print(f"# sweep {fn.__name__} failed: {str(e)[:160]}",
+                      file=sys.stderr)
+                continue
+            vs = (round(val / prior[metric], 3)
+                  if prior.get(metric) else 1.0)
+            rec = {"metric": metric, "value": round(val, 3), "unit": unit,
+                   "vs_baseline": vs}
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+
         try:
-            psps = bench_sph(jax)
-            print(f"# sph 65536 particles: {psps / 1e6:.2f} M particle-steps/s",
-                  file=sys.stderr)
+            with open("BENCH_SWEEP.json", "w") as f:
+                json.dump(records, f, indent=1)
         except Exception as e:
-            print(f"# sph bench failed: {str(e)[:120]}", file=sys.stderr)
+            print(f"# could not write BENCH_SWEEP.json: {e}", file=sys.stderr)
+
+    if os.environ.get("FST_BENCH_SPH", "1") != "0":
+        sph_rec = [r for r in records if r["metric"].startswith("sph_")]
+        if sph_rec:
+            print(f"# sph 65536 particles: {sph_rec[0]['value']:.2f} "
+                  "M particle-steps/s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -222,11 +222,14 @@ def _grid_phase(cfg, mass, u, v):
     return u_prev, v_prev, u_proj, v_proj
 
 
-def _step_scatter(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
+def _step_scatter(cfg: FlipApicConfig, s: FlipApicState,
+                  grid_reduce=None) -> FlipApicState:
     n = cfg.grid
     dt = cfg.dt
 
     mass, u, v = _p2g(cfg, s.pos, s.vel, s.affine_x, s.affine_y)
+    if grid_reduce is not None:
+        mass, u, v = grid_reduce((mass, u, v))
     u_prev, v_prev, u_proj, v_proj = _grid_phase(cfg, mass, u, v)
 
     # G2P (k_g2p, :202-241)
@@ -258,6 +261,8 @@ def _step_scatter(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
     rx = jnp.clip((nx * n).astype(jnp.int32), 0, n - 1)
     ry = jnp.clip((ny_ * n).astype(jnp.int32), 0, n - 1)
     density = jnp.zeros(n * n, jnp.int32).at[ry * n + rx].add(1).reshape(n, n)
+    if grid_reduce is not None:
+        density = grid_reduce(density)
 
     return FlipApicState(
         pos=jnp.stack([nx, ny_], -1),
@@ -279,9 +284,12 @@ def _gshift(a, oy: int, ox: int):
     return padded[y0:y0 + n0, x0:x0 + n1]
 
 
-def _step_dense(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
+def _step_dense(cfg: FlipApicConfig, s: FlipApicState,
+                grid_reduce=None) -> FlipApicState:
     """Cell-dense engine: bin once, transfers via dense sums + static
-    shifts (module docstring)."""
+    shifts (module docstring).  `grid_reduce` (e.g. lax.psum over a mesh
+    axis) merges per-device partial P2G transfers and density rasters —
+    the multi-chip hook used by parallel/flip_sharded.py."""
     from ..ops import cell_dense as cd
 
     n = cfg.grid
@@ -340,6 +348,8 @@ def _step_dense(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
             mom_u = mom_u + _gshift(jnp.sum(wt * vvx, -1), -oy, -ox)
             mom_v = mom_v + _gshift(jnp.sum(wt * vvy, -1), -oy, -ox)
 
+    if grid_reduce is not None:
+        mass, mom_u, mom_v = grid_reduce((mass, mom_u, mom_v))
     u_prev, v_prev, u_proj, v_proj = _grid_phase(cfg, mass, mom_u, mom_v)
 
     # ---- G2P (sample_grid/k_g2p semantics; hat-window broadcasts) ----
@@ -411,6 +421,8 @@ def _step_dense(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
     rx_ = jnp.clip((out_px * n).astype(jnp.int32), 0, n - 1)
     ry_ = jnp.clip((out_py * n).astype(jnp.int32), 0, n - 1)
     density = jnp.zeros(n * n, jnp.int32).at[ry_ * n + rx_].add(1)
+    if grid_reduce is not None:
+        density = grid_reduce(density)
 
     return FlipApicState(
         pos=jnp.stack([out_px, out_py], -1),
@@ -421,10 +433,11 @@ def _step_dense(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
     )
 
 
-def step(cfg: FlipApicConfig, s: FlipApicState) -> FlipApicState:
+def step(cfg: FlipApicConfig, s: FlipApicState,
+         grid_reduce=None) -> FlipApicState:
     if cfg.engine == "dense":
-        return _step_dense(cfg, s)
-    return _step_scatter(cfg, s)
+        return _step_dense(cfg, s, grid_reduce)
+    return _step_scatter(cfg, s, grid_reduce)
 
 
 def density_grid(s: FlipApicState):
