@@ -34,8 +34,7 @@ PRIOR = {
     "hypersonic3d_64_steps_per_sec": 525.0,
     "stam2d_512x512_steps_per_sec": 32.0,
     "stam3d_192_steps_per_sec": 4.5,
-    "nbody_131072_steps_per_sec": 18.7,
-}
+    }
 
 
 def _sync(x):
@@ -176,9 +175,11 @@ def _sweep(jax):
         return "stam3d_192_steps_per_sec", r, "steps/sec"
 
     def nbody_b():
+        # exact all-pairs engine (round 2 default); the round-1 metric
+        # measured the grid-monopole approximation, so this is a new name
         cfg = nb.GraphLayoutConfig(max_number=1 << 17)
         r = _chunked(jax, lambda s: nb.step(cfg, s), nb.init(cfg), 20, 5)
-        return "nbody_131072_steps_per_sec", r, "steps/sec"
+        return "nbody_131072_exact_steps_per_sec", r, "steps/sec"
 
     return [gray_scott, burgers, shallow_water, mhd_b, lbm_b, sph_b,
             flip_b, mpm_b, hyp3d, stam2d_b, stam3d_b, nbody_b]

@@ -542,7 +542,8 @@ def cmd_nbody(args):
     from .solvers import nbody_graph as ng
 
     cfg = ng.GraphLayoutConfig(max_number=args.max_number, dims=args.dims,
-                               grid_res=args.grid_res, dtype=args.dtype)
+                               grid_res=args.grid_res, engine=args.engine,
+                               dtype=args.dtype)
     if args.native:
         # pure host path: never touches jax / the device
         from .solvers import nbody_native as nn
@@ -570,6 +571,12 @@ def cmd_nbody(args):
     print(f"nbody: {args.steps} steps, {cfg.n_bodies} nodes, "
           f"{n_edges} edges -> {args.steps / wall:.1f} steps/s")
     print(f"layout extent: {np.abs(pos).max():.1f}")
+    if args.render:
+        from .render.points import render_points
+
+        print(render_points(pos, W=args.cols, H=args.rows,
+                            scheme=args.scheme,
+                            color=not args.no_color))
 
 
 def cmd_regression(args):
@@ -791,6 +798,16 @@ def build_parser():
                    help="worker threads for --native (default: CPU count)")
     p.add_argument("--theta", type=float, default=0.75,
                    help="BH multipole acceptance for --native (0 = exact)")
+    p.add_argument("--engine", choices=("exact", "grid"), default="exact",
+                   help="TPU repulsion: exact all-pairs (default) or "
+                        "grid-monopole approximation")
+    p.add_argument("--scheme", default="mint",
+                   choices=("mint", "index", "log", "radius", "xor"),
+                   help="point color scheme (number_fluid2d.c:146-161)")
+    p.add_argument("--cols", type=int, default=100)
+    p.add_argument("--rows", type=int, default=40)
+    p.add_argument("--no-color", action="store_true",
+                   help="plain half-blocks without ANSI colors")
     _common(p, 100)
     p.set_defaults(fn=cmd_nbody)
 

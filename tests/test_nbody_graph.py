@@ -72,3 +72,54 @@ def test_layout_3d_runs():
     pos = np.asarray(out.pos)
     assert pos.shape == (64, 3)
     assert np.isfinite(pos).all()
+
+
+def test_exact_repulsion_matches_allpairs_oracle():
+    """The default engine's chunked all-pairs force equals a float64
+    double-loop oracle of the reference force law
+    (apply_repulsion_from_tree leaf case, number_fluid2d.c:399-409)."""
+    cfg = ng.GraphLayoutConfig(max_number=256, chunk=64)
+    s = ng.init(cfg)
+    pos = np.asarray(s.pos, np.float64)
+    n = pos.shape[0]
+    ref = np.zeros_like(pos)
+    for i in range(n):
+        d = pos[i] - pos
+        d2 = (d * d).sum(-1) + cfg.softening
+        w = cfg.repulsion / (d2 * np.sqrt(d2))
+        w[i] = 0.0
+        ref[i] = (w[:, None] * d).sum(0)
+    got = np.asarray(ng._repulsion_exact(cfg, s.pos))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-4)
+
+
+def test_exact_engine_beats_grid_engine():
+    """Force error of the exact engine is ~0; the grid engine's is not —
+    the fidelity ordering the engine default relies on."""
+    from dataclasses import replace
+
+    cfg = ng.GraphLayoutConfig(max_number=2048, chunk=256)
+    s = ng.init(cfg)
+    # relax a few steps so bodies leave the degenerate init circle
+    s = jax.jit(lambda st: ng.run(cfg, st, 5))(s)
+    exact = np.asarray(ng._repulsion_exact(cfg, s.pos), np.float64)
+    grid = np.asarray(ng._repulsion_grid(replace(cfg, engine="grid"),
+                                         s.pos), np.float64)
+    scale = np.abs(exact).max()
+    err_grid = np.abs(grid - exact).max() / scale
+    assert err_grid > 1e-4  # the approximation is visibly approximate
+
+
+def test_render_points_schemes():
+    from fluidsims_tpu.render.points import SCHEMES, render_points
+
+    cfg = ng.GraphLayoutConfig(max_number=512)
+    s = ng.init(cfg)
+    pos = np.asarray(s.pos)
+    for scheme in SCHEMES:
+        frame = render_points(pos, W=40, H=20, scheme=scheme)
+        assert frame.count("\n") == 19
+        assert "▀" in frame or "▄" in frame
+    mono = render_points(pos, W=40, H=20, color=False)
+    assert "\x1b" not in mono
+    assert any(c in mono for c in "█▀▄")
