@@ -33,6 +33,9 @@ def _common(p, steps_default=200):
                    help="checkpoint the final state (core/checkpoint.py)")
     p.add_argument("--load-state", default=None, metavar="FILE.npz",
                    help="resume from a saved checkpoint")
+    p.add_argument("--interactive", action="store_true",
+                   help="key-driven live mode (pause/reset/view/nudges); "
+                        "supported by hypersonic2d, sph and lbm")
 
 
 def _bench_report(name, steps, wall, cells=None):
@@ -227,6 +230,50 @@ def cmd_lbm(args):
         sp = np.asarray(lbm.speed_field(cfg, st))
         return render_ramp(np.maximum(sp, 0.0))
 
+    if args.interactive:
+        # reference key set (tau_lbm.cu:281-286): +/- drive nudges,
+        # o obstacle toggle (re-initializes the field like init_kernel)
+        from dataclasses import replace as _rep
+
+        from .core.interactive import interactive_loop
+
+        box = {"cfg": cfg}
+
+        def make_runner():
+            c = box["cfg"]
+            return jax.jit(lambda st, n: lbm.run(c, st, n), static_argnums=1)
+
+        def drive(mult):
+            def h(ctx):
+                box["cfg"] = _rep(box["cfg"],
+                                  drive=box["cfg"].drive * mult)
+                ctx.invalidate()
+            return h
+
+        def toggle_obstacle(ctx):
+            box["cfg"] = _rep(box["cfg"], obstacle=not box["cfg"].obstacle)
+            ctx.state = lbm.init(box["cfg"])
+            ctx.invalidate()
+
+        def iframe(st):
+            sp = np.asarray(lbm.speed_field(box["cfg"], st))
+            return render_ramp(np.maximum(sp, 0.0))
+
+        keys = {
+            "+": ("drive+", drive(1.2)),
+            "-": ("drive-", drive(1 / 1.2)),
+            "o": ("obstacle", toggle_obstacle),
+            " ": ("pause", lambda ctx: setattr(ctx, "paused",
+                                               not ctx.paused)),
+        }
+        interactive_loop(
+            s, make_runner, iframe, keys, stride=max(args.stride, 1),
+            max_steps=args.steps,
+            status_fn=lambda ctx: (
+                f"drive={box['cfg'].drive:.4f} "
+                f"obstacle={box['cfg'].obstacle}"))
+        return
+
     out = _run_headless(run, s, args.steps, "lbm", cells=cfg.nx * cfg.ny,
                         args=args, frame_fn=frame)
     if not args.stride:
@@ -272,6 +319,35 @@ def cmd_hypersonic2d(args):
         v = render_value(cfg, st, args.view)
         t = np.asarray(normalize_masked(v, st.mask))
         return render_ramp(t, normalize=False)
+
+    if args.interactive:
+        # reference key set: R reset, M view cycle, SPACE pause
+        # (tau_hypersonic_cuda.cu:1825-1831; SPACE is a toggle here)
+        from .core.interactive import interactive_loop
+
+        view = {"mode": args.view}
+
+        def iframe(st):
+            v = render_value(cfg, st, view["mode"])
+            return render_ramp(np.asarray(normalize_masked(v, st.mask)),
+                               normalize=False)
+
+        def cycle_view(ctx):
+            i = VIEW_MODES.index(view["mode"])
+            view["mode"] = VIEW_MODES[(i + 1) % len(VIEW_MODES)]
+
+        keys = {
+            "r": ("reset", lambda ctx: setattr(ctx, "state", h2.init(cfg))),
+            "m": ("view", cycle_view),
+            " ": ("pause", lambda ctx: setattr(ctx, "paused",
+                                               not ctx.paused)),
+        }
+        interactive_loop(
+            s, lambda: run, iframe, keys, stride=max(args.stride, 1),
+            max_steps=args.steps,
+            status_fn=lambda ctx: f"view={view['mode']} "
+                                  f"t={float(ctx.state.t):.5f}")
+        return
 
     out = _run_headless(run, s, args.steps, "hypersonic2d",
                         cells=cfg.nx * cfg.ny, args=args, frame_fn=frame)
@@ -431,6 +507,54 @@ def cmd_sph(args):
                          np.where(top > 0, "▀",
                                   np.where(bot > 0, "▄", " ")))
         return "\n".join("".join(r) for r in chars)
+
+    if args.interactive:
+        # reference key set (tau_sph.cu:622-657): p pause, SPACE step-once,
+        # r reset, g gravity, v viscosity, =/- smoothing length, ]/[ c0,
+        # >/< dTau — the nudges rebuild the jitted runner (the analog of
+        # ensure_cell_buffers re-deriving the cell grid)
+        from dataclasses import replace as _rep
+
+        from .core.interactive import interactive_loop
+
+        box = {"cfg": cfg}
+
+        def nudge(**field_factors):
+            def h(ctx):
+                c = box["cfg"]
+                box["cfg"] = _rep(c, **{f: getattr(c, f) * m if m else
+                                        not getattr(c, f)
+                                        for f, m in field_factors.items()})
+                ctx.invalidate()
+            return h
+
+        def make_runner():
+            c = box["cfg"]
+            return jax.jit(lambda st, n: sph.run(c, st, n), static_argnums=1)
+
+        keys = {
+            "p": ("pause", lambda ctx: setattr(ctx, "paused",
+                                               not ctx.paused)),
+            " ": ("step", lambda ctx: setattr(ctx, "step_once", True)),
+            "r": ("reset", lambda ctx: setattr(ctx, "state",
+                                               sph.init(box["cfg"]))),
+            "g": ("grav", nudge(use_grav=None)),
+            "v": ("visc", nudge(use_visc=None)),
+            "=": ("h+", nudge(h_mul=1.05)),
+            "-": ("h-", nudge(h_mul=0.95)),
+            "]": ("c0+", nudge(c0=1.05)),
+            "[": ("c0-", nudge(c0=0.95)),
+            ">": ("dTau+", nudge(dtau=1.2)),
+            "<": ("dTau-", nudge(dtau=1 / 1.2)),
+        }
+        interactive_loop(
+            s, make_runner, frame, keys, stride=max(args.stride, 1),
+            max_steps=args.steps,
+            status_fn=lambda ctx: (
+                f"t={float(ctx.state.t):.3f} h={box['cfg'].h:.4f} "
+                f"c0={box['cfg'].c0:.2f} dTau={box['cfg'].dtau:.3f} "
+                f"grav={box['cfg'].use_grav} visc={box['cfg'].use_visc}"))
+        return
 
     out = _run_headless(run, s, args.steps, "sph", args=args, frame_fn=frame)
     print(f"t = {float(out.t):.4f} tau = {float(out.tau):.4f}  "

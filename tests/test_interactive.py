@@ -1,0 +1,97 @@
+"""Key-driven interactive loop (core/interactive.py): the reference's L4
+pause/reset/view-cycle/param-nudge contract, tested with scripted keys."""
+
+import io
+
+import jax
+import numpy as np
+
+from fluidsims_tpu.core.interactive import interactive_loop
+
+
+class _Keys:
+    """Scripted key source: yields one queued burst per poll."""
+
+    def __init__(self, bursts):
+        self.bursts = list(bursts)
+
+    def __call__(self):
+        return self.bursts.pop(0) if self.bursts else ""
+
+
+def _counter_runner():
+    calls = {"built": 0}
+
+    def make_runner():
+        calls["built"] += 1
+
+        def run(state, n):
+            return state + n
+
+        return run
+
+    return make_runner, calls
+
+
+def test_loop_advances_and_stops_at_max_steps():
+    make_runner, _ = _counter_runner()
+    out = io.StringIO()
+    final = interactive_loop(
+        0, make_runner, lambda s: f"[{s}]", {}, stride=2, max_steps=6,
+        input_fn=_Keys([]), out=out, fps_cap=0)
+    assert final == 6
+    assert "[6]" in out.getvalue()
+
+
+def test_quit_key_stops_early():
+    make_runner, _ = _counter_runner()
+    final = interactive_loop(
+        0, make_runner, str, {}, stride=1, max_steps=100,
+        input_fn=_Keys(["", "", "q"]), out=io.StringIO(), fps_cap=0)
+    assert final == 2  # two frames before the quit poll
+
+
+def test_pause_and_step_once():
+    make_runner, _ = _counter_runner()
+    keys = {
+        "p": ("pause", lambda ctx: setattr(ctx, "paused", not ctx.paused)),
+        " ": ("step", lambda ctx: setattr(ctx, "step_once", True)),
+    }
+    # advance 1, pause for 2 polls, single-step once, quit
+    final = interactive_loop(
+        0, make_runner, str, keys, stride=1, max_steps=100,
+        input_fn=_Keys(["", "p", "", " ", "q"]), out=io.StringIO(),
+        fps_cap=0)
+    # frames: +1 (run), pause (no step), idle (no step), step_once (+1)
+    assert final == 2
+
+
+def test_invalidate_rebuilds_runner():
+    make_runner, calls = _counter_runner()
+    keys = {"n": ("nudge", lambda ctx: ctx.invalidate())}
+    interactive_loop(
+        0, make_runner, str, keys, stride=1, max_steps=3,
+        input_fn=_Keys(["", "n", ""]), out=io.StringIO(), fps_cap=0)
+    assert calls["built"] == 2  # initial + one rebuild
+
+
+def test_cli_interactive_smoke(monkeypatch, capsys):
+    """End-to-end: sph/lbm/hypersonic2d --interactive run to completion
+    with a non-tty stdin (RawStdin degrades to no keys)."""
+    from fluidsims_tpu.cli import main
+
+    main(["sph", "--n", "256", "--steps", "4", "--stride", "2",
+          "--interactive"])
+    out = capsys.readouterr().out
+    assert "step 4" in out
+    assert "[p]pause" in out and "[>]dTau+" in out
+
+    main(["lbm", "--nx", "32", "--ny", "16", "--steps", "4", "--stride", "2",
+          "--interactive"])
+    out = capsys.readouterr().out
+    assert "[o]obstacle" in out
+
+    main(["hypersonic2d", "--nx", "64", "--ny", "32", "--steps", "2",
+          "--stride", "1", "--interactive", "--impl", "xla"])
+    out = capsys.readouterr().out
+    assert "[m]view" in out
