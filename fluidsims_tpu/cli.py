@@ -318,6 +318,11 @@ def cmd_hypersonic2d(args):
         assert args.view in VIEW_MODES, f"--view must be one of {VIEW_MODES}"
         v = render_value(cfg, st, args.view)
         t = np.asarray(normalize_masked(v, st.mask))
+        if args.colors == "256":
+            from .render.terminal import render_palette256
+
+            bands = np.clip((t * 255 + 0.5).astype(int), 0, 255)
+            return render_palette256(bands)
         return render_ramp(t, normalize=False)
 
     if args.interactive:
@@ -464,6 +469,10 @@ def cmd_stam3d(args):
     def frame(st):
         img = np.asarray(stam3d.iso_render(cfg, st, W=args.cols,
                                            H=args.rows))
+        if args.colors == "256":
+            from .render.terminal import render_palette256
+
+            return render_palette256(img)
         from .render.terminal import RAMP_BLOCKS
 
         t = img / max(img.max(), 1)
@@ -781,6 +790,9 @@ def build_parser():
     p.add_argument("--visc-e", type=float, default=2e-2)
     p.add_argument("--mach", type=float, default=25.0)
     p.add_argument("--view", default="schlieren")
+    p.add_argument("--colors", choices=("mono", "256"), default="mono",
+                   help="256 = dynamic-palette ANSI renderer "
+                        "(js_cuda3d.cu:471-517)")
     p.add_argument("--impl", choices=("auto", "pallas", "xla"),
                    default="auto",
                    help="step implementation: fused Pallas TPU kernel, "
@@ -834,6 +846,9 @@ def build_parser():
     p.add_argument("--engine", choices=("auto", "pallas", "xla"),
                    default="auto",
                    help="auto = fused Pallas kernels on TPU, XLA elsewhere")
+    p.add_argument("--colors", choices=("mono", "256"), default="mono",
+                   help="256 = dynamic-palette ANSI renderer "
+                        "(js_cuda3d.cu:471-517)")
     _common(p, 20)
     p.set_defaults(fn=cmd_stam3d)
 

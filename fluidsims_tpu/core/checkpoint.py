@@ -56,7 +56,15 @@ def load_state(path, like) -> object:
                 f"checkpoint leaf {i} shape {tuple(a.shape)} does not match "
                 f"template shape {tuple(ref_shape)}"
             )
-        restored.append(jnp.asarray(a, getattr(ref, "dtype", None)))
+        arr = jnp.asarray(a, getattr(ref, "dtype", None))
+        # restore the template's placement: a mesh-sharded template leaf
+        # (e.g. from parallel/*.shard_state) gets the checkpoint data
+        # re-sharded onto the same mesh, so a multi-chip run resumes with
+        # its original layout
+        sharding = getattr(ref, "sharding", None)
+        if sharding is not None and getattr(sharding, "mesh", None) is not None:
+            arr = jax.device_put(arr, sharding)
+        restored.append(arr)
     if f"leaf_{n}" in data:
         raise ValueError("checkpoint has more leaves than the template state")
     return jax.tree_util.tree_unflatten(treedef, restored)

@@ -17,10 +17,44 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["RAMP_BLOCKS", "RAMP_EIGHTHS", "render_ramp", "render_halfblocks",
-           "autocontrast", "hash_dither"]
+           "render_palette256", "autocontrast", "hash_dither"]
 
 RAMP_BLOCKS = " ░▒▓█"
 RAMP_EIGHTHS = " ▁▂▃▄▅▆▇█"
+
+
+def render_palette256(bands: np.ndarray, levels: int = 256,
+                      num_pairs: int = 240) -> str:
+    """256-color dynamic-palette renderer (init_colors_dynamic /
+    band_to_pair / show_iso, js_cuda3d.cu:471-532).
+
+    `bands` holds integer intensity bands in [0, levels]; each nonzero
+    band maps linearly onto `num_pairs` xterm-256 palette slots spread
+    over color indices 16..231 (the reference's init_pair table) and is
+    drawn with the ' ░▒▓█' ramp character for its intensity.  Band 0 is
+    the unstyled background, exactly like pair 0.
+    """
+    b = np.asarray(bands).astype(np.int64)
+    # band_to_pair (js_cuda3d.cu:505-517)
+    pair = 1 + (b - 1) * (num_pairs - 1) // max(1, levels - 1)
+    pair = np.clip(pair, 1, num_pairs)
+    # init_colors_dynamic COLORS>=256 branch (:487-492)
+    cidx = 16 + np.rint((pair - 1) * (231 - 16)
+                        / max(1, num_pairs - 1)).astype(np.int64)
+    ramp_i = np.clip(b * (len(RAMP_BLOCKS) - 1) // max(1, levels), 0,
+                     len(RAMP_BLOCKS) - 1)
+
+    lines = []
+    for row in range(b.shape[0]):
+        parts = []
+        for col in range(b.shape[1]):
+            if b[row, col] == 0:
+                parts.append("\x1b[0m ")
+            else:
+                parts.append(f"\x1b[38;5;{cidx[row, col]}m"
+                             f"{RAMP_BLOCKS[ramp_i[row, col]]}")
+        lines.append("".join(parts) + "\x1b[0m")
+    return "\n".join(lines)
 
 
 def autocontrast(field: np.ndarray):

@@ -59,3 +59,31 @@ def test_terminal_renderers():
     assert np.isfinite(ac).all()
     d = hash_dither(8, 8, 8)
     assert abs(d).max() <= 0.5 / 8 + 1e-9
+
+
+def test_render_palette256():
+    """The 256-color dynamic palette (init_colors_dynamic/band_to_pair,
+    js_cuda3d.cu:471-517): band 0 is unstyled, nonzero bands map linearly
+    onto xterm-256 indices 16..231 with ramp characters."""
+    from fluidsims_tpu.render.terminal import render_palette256
+
+    bands = np.array([[0, 1, 64, 128, 256]])
+    out = render_palette256(bands)
+    assert out.startswith("\x1b[0m ")       # band 0: unstyled space
+    assert "\x1b[38;5;16m" in out           # band 1 -> first palette slot
+    assert "\x1b[38;5;231m" in out          # top band -> last slot (231)
+    assert "█" in out and "░" in out        # ramp characters scale
+    # band 128 sits near the middle of 16..231
+    import re
+
+    idxs = [int(m) for m in re.findall(r"\x1b\[38;5;(\d+)m", out)]
+    assert all(16 <= i <= 231 for i in idxs)
+
+
+def test_cli_colors_256(capsys):
+    from fluidsims_tpu.cli import main
+
+    main(["stam3d", "--n", "16", "--steps", "2", "--render",
+          "--colors", "256", "--cols", "30", "--rows", "12"])
+    out = capsys.readouterr().out
+    assert "\x1b[38;5;" in out
