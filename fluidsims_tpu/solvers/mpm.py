@@ -118,7 +118,8 @@ def _det2(F):
     return F[:, 0, 0] * F[:, 1, 1] - F[:, 0, 1] * F[:, 1, 0]
 
 
-def _step_scatter(cfg: MPMConfig, s: MPMState) -> MPMState:
+def _step_scatter(cfg: MPMConfig, s: MPMState,
+                  grid_reduce=None) -> MPMState:
     n_p = cfg.n
     Gx, Gy = cfg.gx, cfg.gy
     dx = cfg.dx
@@ -190,6 +191,8 @@ def _step_scatter(cfg: MPMConfig, s: MPMState) -> MPMState:
     mass2 = mass.reshape(Gy, Gx)
     gu = mom_x.reshape(Gy, Gx)
     gv = mom_y.reshape(Gy, Gx)
+    if grid_reduce is not None:
+        mass2, gu, gv = grid_reduce((mass2, gu, gv))
     has = mass2 > 0.0
     gu = jnp.where(has, gu / jnp.maximum(mass2, 1e-30), gu)
     gv = jnp.where(has, gv / jnp.maximum(mass2, 1e-30) - cfg.gravity * dt, gv)
@@ -281,12 +284,15 @@ def _plastic_and_stress(cfg, s):
     return Fe, stress
 
 
-def _step_dense(cfg: MPMConfig, s: MPMState) -> MPMState:
+def _step_dense(cfg: MPMConfig, s: MPMState,
+                grid_reduce=None) -> MPMState:
     """Cell-dense engine: one binning per step; P2G = 9 dense sums + grid
     shifts, G2P = 9 grid broadcasts — no element scatters/gathers on the
     hot path (same design as flip_apic._step_dense; positions are clamped
     to [2dx, (G-3)dx] so the 3x3 stencil never leaves the grid and the
-    reference's bounds skip is reproduced by the zero-filled shifts)."""
+    reference's bounds skip is reproduced by the zero-filled shifts).
+    `grid_reduce` (e.g. lax.psum) merges per-device partial P2G grids —
+    the multi-chip hook used by parallel/mpm_sharded.py."""
     from ..ops import cell_dense as cd
 
     n_p = cfg.n
@@ -340,6 +346,9 @@ def _step_dense(cfg: MPMConfig, s: MPMState) -> MPMState:
                                     -oy, -ox)
             gv = gv + cd.grid_shift(jnp.sum(w * (d[..., 3] + fy), -1),
                                     -oy, -ox)
+
+    if grid_reduce is not None:
+        mass2, gu, gv = grid_reduce((mass2, gu, gv))
 
     # ---- grid update (k_grid_update) ----
     has = mass2 > 0.0
@@ -406,10 +415,10 @@ def _step_dense(cfg: MPMConfig, s: MPMState) -> MPMState:
     )
 
 
-def step(cfg: MPMConfig, s: MPMState) -> MPMState:
+def step(cfg: MPMConfig, s: MPMState, grid_reduce=None) -> MPMState:
     if cfg.engine == "dense":
-        return _step_dense(cfg, s)
-    return _step_scatter(cfg, s)
+        return _step_dense(cfg, s, grid_reduce)
+    return _step_scatter(cfg, s, grid_reduce)
 
 
 def overflow_count(cfg: MPMConfig, s: MPMState):

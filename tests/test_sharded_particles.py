@@ -74,3 +74,21 @@ def test_sharded_flip_capacity_scales_down():
     cfg = _cfg(particles=1 << 14, grid=64)
     local = replace(cfg, particles=cfg.particles // 8)
     assert local.capacity < cfg.capacity
+
+
+def test_sharded_mpm_matches_single_chip():
+    """MLS-MPM with the same particle-sharded + psum'd-grid design."""
+    from fluidsims_tpu.parallel import mpm_sharded as msh
+    from fluidsims_tpu.solvers import mpm
+
+    n_dev = 8
+    cfg = mpm.MPMConfig(n=4096, gx=48, gy=48)
+    mesh = make_mesh_1d(n_dev, axis="p")
+    out = msh.make_sharded_run(cfg, mesh, 5)(
+        msh.shard_state(mpm.init(cfg), mesh))
+    ref = jax.jit(lambda s: mpm.run(cfg, s, 5))(mpm.init(cfg))
+    perm = fsh.interleave_perm(cfg.n, n_dev)
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos)[perm], atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.Jp), np.asarray(ref.Jp)[perm], rtol=2e-4)
