@@ -9,7 +9,7 @@ all: native
 
 native:
 	cc -O2 -shared -fPIC native/fourspl.c -o native/libfourspl.so
-	cc -O3 -shared -fPIC native/hypersonic2d_cpu.c \
+	cc -O3 -march=native -ffp-contract=off -shared -fPIC native/hypersonic2d_cpu.c \
 		-o native/libhypersonic2d_cpu.so -lm
 	cc -O2 -shared -fPIC native/nbody_bh.c -o native/libnbody_bh.so \
 		-lpthread -lm

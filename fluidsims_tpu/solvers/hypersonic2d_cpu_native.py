@@ -35,16 +35,24 @@ def _build_and_load():
     so = _repo_root() / "native" / "libhypersonic2d_cpu.so"
     try:
         if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-            for cc in ("cc", "gcc", "clang"):
-                try:
-                    subprocess.run(
-                        [cc, "-O3", "-shared", "-fPIC", str(src), "-o",
-                         str(so), "-lm"],
-                        check=True, capture_output=True,
-                    )
+            # -march=native enables the explicit AVX2 compute_dt kernels
+            # (native/hypersonic2d_cpu.c); retry portable if unsupported
+            for flags in (["-O3", "-march=native", "-ffp-contract=off"],
+                          ["-O3"]):
+                built = False
+                for cc in ("cc", "gcc", "clang"):
+                    try:
+                        subprocess.run(
+                            [cc, *flags, "-shared", "-fPIC", str(src),
+                             "-o", str(so), "-lm"],
+                            check=True, capture_output=True,
+                        )
+                        built = True
+                        break
+                    except (FileNotFoundError, subprocess.CalledProcessError):
+                        continue
+                if built:
                     break
-                except (FileNotFoundError, subprocess.CalledProcessError):
-                    continue
             else:
                 return None
         lib = ctypes.CDLL(str(so))
