@@ -5,10 +5,11 @@ Prints the driver metric (flagship 2-D hypersonic steps/sec at 2048^2 f32,
 the BASELINE.json target) as the FIRST JSON line, then one JSON line per
 solver so regressions anywhere in the framework are driver-visible
 (VERDICT r1 item 7).  Each line: {"metric", "value", "unit",
-"vs_baseline"} with vs_baseline computed against the recorded
-prior-round value (BENCH_SWEEP.json from a previous run if present, else
-the hardcoded round-1 table).  The full sweep is also written to
-BENCH_SWEEP.json.
+"vs_baseline"} against the committed prior-round table (PRIOR below;
+update it each round from BASELINE.md).  The full sweep is also written
+to BENCH_SWEEP.json for the record.  Each measurement reports its
+fastest of two windows — the chip behind the axon tunnel is shared and
+single windows can be depressed several-fold by other tenants.
 
 Env overrides: FST_BENCH_NX / FST_BENCH_NY / FST_BENCH_STEPS /
 FST_BENCH_IMPL (pallas|xla) / FST_BENCH_SWEEP=0 to skip the per-solver
@@ -49,20 +50,26 @@ def _sync_tree(o):
     return _sync(jax.tree_util.tree_leaves(o)[0])
 
 
-def _chunked(jax, step_fn, state, total, chunk):
+def _chunked(jax, step_fn, state, total, chunk, windows=2):
     """Wall-clock steps/sec over `total` steps in `chunk`-step scans,
-    warmup (compile) excluded, hard host sync bracketing."""
+    warmup (compile) excluded, hard host sync bracketing.  The whole
+    measurement runs `windows` times and the fastest window is reported —
+    the chip behind the axon tunnel is shared, so a single window can be
+    depressed several-fold by another tenant's bursts."""
     from fluidsims_tpu.core.stepper import scan_steps
 
     run = jax.jit(lambda s: scan_steps(step_fn, s, chunk))
     out = run(state)
     _sync_tree(out)
     reps = max(1, total // chunk)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run(out)
-    _sync_tree(out)
-    return reps * chunk / (time.perf_counter() - t0)
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(out)
+        _sync_tree(out)
+        best = min(best, time.perf_counter() - t0)
+    return reps * chunk / best
 
 
 def bench_hypersonic(jax, nx, ny, steps, impl):
@@ -186,14 +193,10 @@ def _sweep(jax):
 
 
 def _load_prior():
-    prior = dict(PRIOR)
-    try:
-        with open("BENCH_SWEEP.json") as f:
-            for rec in json.load(f):
-                prior[rec["metric"]] = rec["value"]
-    except Exception:
-        pass
-    return prior
+    # vs_baseline is always against the committed prior-round table; a
+    # BENCH_SWEEP.json from a contended run must not silently become the
+    # baseline (the chip behind the tunnel is shared)
+    return dict(PRIOR)
 
 
 def main():
