@@ -39,9 +39,12 @@ PRIOR = {
 
 
 def _sync(x):
+    # slice ONE element on device before transferring: np.asarray on the
+    # full array would pull it through the ~50 MB/s tunnel and dominate
+    # the measurement
     import numpy as np
 
-    return np.asarray(x).ravel()[:1]
+    return np.asarray(x.ravel()[:1].block_until_ready())
 
 
 def _sync_tree(o):
