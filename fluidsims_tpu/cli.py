@@ -36,6 +36,9 @@ def _common(p, steps_default=200):
     p.add_argument("--interactive", action="store_true",
                    help="key-driven live mode (pause/reset/view/nudges); "
                         "supported by hypersonic2d, sph and lbm")
+    p.add_argument("--png", default=None, metavar="FILE.png",
+                   help="export the final frame as a PNG (with --stride: "
+                        "numbered FILE_0000.png per rendered frame)")
 
 
 def _bench_report(name, steps, wall, cells=None):
@@ -47,12 +50,30 @@ def _bench_report(name, steps, wall, cells=None):
     print(line)
 
 
+def _png_path(base: str, idx: int | None):
+    if idx is None:
+        return base
+    stem, dot, ext = base.rpartition(".")
+    return f"{stem}_{idx:04d}.{ext}" if dot else f"{base}_{idx:04d}"
+
+
+def _maybe_png(args, rgb_fn, state, idx=None):
+    if args is not None and getattr(args, "png", None) and rgb_fn is not None:
+        from .io.png import write_png
+
+        path = _png_path(args.png, idx)
+        write_png(path, rgb_fn(state))
+        if idx is None:
+            print(f"wrote {path}")
+
+
 def _run_headless(run_jit, state, steps, name, cells=None, chunk=50,
-                  args=None, frame_fn=None):
+                  args=None, frame_fn=None, rgb_fn=None):
     """Drive `steps` physics steps.  With --render --stride N (and a
     frame_fn), renders a terminal frame every N steps — the live-animation
     loop of the reference's interactive apps; otherwise runs chunked
-    benchmark mode and reports throughput."""
+    benchmark mode and reports throughput.  `rgb_fn(state) -> (H, W, 3)
+    uint8` feeds --png frame export (the raylib texture analog)."""
     import jax
     import numpy as np
 
@@ -62,23 +83,28 @@ def _run_headless(run_jit, state, steps, name, cells=None, chunk=50,
         state = load_state(args.load_state, state)
         print(f"resumed from {args.load_state}")
 
-    live = (args is not None and frame_fn is not None and args.render
+    live = (args is not None and frame_fn is not None
+            and (args.render or getattr(args, "png", None))
             and not args.headless and args.stride > 0)
     if live:
         out = state
         done = 0
+        frame_i = 0
         t0 = time.perf_counter()
         first = True
         while done < steps:
             n = min(args.stride, steps - done)
             out = run_jit(out, n)
             done += n
-            frame = frame_fn(out)
-            if not first:
-                sys.stdout.write(f"\x1b[{frame.count(chr(10)) + 2}A")
-            first = False
-            print(frame)
-            print(f"[{name}] step {done}/{steps}", flush=True)
+            _maybe_png(args, rgb_fn, out, idx=frame_i)
+            frame_i += 1
+            if args.render:
+                frame = frame_fn(out)
+                if not first:
+                    sys.stdout.write(f"\x1b[{frame.count(chr(10)) + 2}A")
+                first = False
+                print(frame)
+                print(f"[{name}] step {done}/{steps}", flush=True)
         _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
         _bench_report(name, done, time.perf_counter() - t0, cells)
         return _maybe_save(args, out)
@@ -100,6 +126,7 @@ def _run_headless(run_jit, state, steps, name, cells=None, chunk=50,
     _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     wall = time.perf_counter() - t0
     _bench_report(name, reps * chunk + rem, wall, cells)
+    _maybe_png(args, rgb_fn, out)
     return _maybe_save(args, out)
 
 
@@ -132,6 +159,14 @@ def _report_overflow(n_dropped: int, n_total: int):
         )
 
 
+def _norm01(a):
+    import numpy as np
+
+    a = np.asarray(a, np.float64)
+    lo, hi = np.nanmin(a), np.nanmax(a)
+    return np.nan_to_num((a - lo) / max(hi - lo, 1e-30))
+
+
 def cmd_gray_scott(args):
     import jax
     import numpy as np
@@ -151,8 +186,11 @@ def cmd_gray_scott(args):
         v = np.asarray(st.v)
         return render_halfblocks(v) if args.halfblocks else render_ramp(v)
 
+    from .render.colormap import jet
+
     out = _run_headless(run, s, args.steps, "gray-scott",
-                        cells=cfg.nx * cfg.ny, args=args, frame_fn=frame)
+                        cells=cfg.nx * cfg.ny, args=args, frame_fn=frame,
+                        rgb_fn=lambda st: jet(_norm01(st.v)))
     if not args.stride:
         _maybe_render(args, frame(out))
 
@@ -179,8 +217,16 @@ def cmd_burgers(args):
         speed = np.hypot(np.asarray(u), np.asarray(v))
         return render_ramp(speed, dither=True)
 
+    def rgb(st):
+        import numpy as np
+
+        from .render.colormap import jet
+
+        u, v = bg.velocities(cfg, st)
+        return jet(_norm01(np.hypot(np.asarray(u), np.asarray(v))))
+
     out = _run_headless(run, s, args.steps, "burgers", cells=cfg.nx * cfg.ny,
-                        args=args, frame_fn=frame)
+                        args=args, frame_fn=frame, rgb_fn=rgb)
     if cfg.colehopf:
         print(f"cole-hopf rel L2 error: {bg.cole_hopf_rel_l2(cfg, out):.3e}")
     if args.render and not args.stride:
@@ -205,8 +251,13 @@ def cmd_shallow_water(args):
         return render_ramp(autocontrast(np.asarray(st.sigma)),
                            normalize=False)
 
-    out = _run_headless(run, s, args.steps, "shallow-water",
-                        cells=cfg.nx * cfg.ny, args=args, frame_fn=frame)
+    from .render.colormap import jet
+
+    out = _run_headless(
+        run, s, args.steps, "shallow-water", cells=cfg.nx * cfg.ny,
+        args=args, frame_fn=frame,
+        rgb_fn=lambda st: jet(np.clip(autocontrast(np.asarray(st.sigma)),
+                                      0, 1)))
     if not args.stride:
         _maybe_render(args, frame(out))
 
@@ -229,6 +280,11 @@ def cmd_lbm(args):
     def frame(st):
         sp = np.asarray(lbm.speed_field(cfg, st))
         return render_ramp(np.maximum(sp, 0.0))
+
+    def rgb(st):
+        from .render.colormap import jet
+
+        return jet(_norm01(lbm.speed_field(cfg, st)))
 
     if args.interactive:
         # reference key set (tau_lbm.cu:281-286): +/- drive nudges,
@@ -275,7 +331,7 @@ def cmd_lbm(args):
         return
 
     out = _run_headless(run, s, args.steps, "lbm", cells=cfg.nx * cfg.ny,
-                        args=args, frame_fn=frame)
+                        args=args, frame_fn=frame, rgb_fn=rgb)
     if not args.stride:
         _maybe_render(args, frame(out))
 
@@ -354,8 +410,18 @@ def cmd_hypersonic2d(args):
                                   f"t={float(ctx.state.t):.5f}")
         return
 
+    def rgb(st):
+        from .render.colormap import jet
+
+        v = render_value(cfg, st, args.view)
+        t = np.asarray(normalize_masked(v, st.mask))
+        img = jet(np.clip(t, 0, 1))
+        img[np.asarray(st.mask)] = 0
+        return img
+
     out = _run_headless(run, s, args.steps, "hypersonic2d",
-                        cells=cfg.nx * cfg.ny, args=args, frame_fn=frame)
+                        cells=cfg.nx * cfg.ny, args=args, frame_fn=frame,
+                        rgb_fn=rgb)
     print(f"t = {float(out.t):.6f}")
     if args.render and not args.stride:
         _maybe_render(args, frame(out))
@@ -428,8 +494,13 @@ def cmd_mhd(args):
     def frame(st):
         return render_ramp(np.asarray(mhd.view_field(cfg, st, args.view)))
 
-    out = _run_headless(run, s, args.steps, "mhd", cells=cfg.nx * cfg.ny,
-                        args=args, frame_fn=frame)
+    from .render.colormap import mhd_cmap
+
+    out = _run_headless(
+        run, s, args.steps, "mhd", cells=cfg.nx * cfg.ny, args=args,
+        frame_fn=frame,
+        rgb_fn=lambda st: mhd_cmap(
+            _norm01(mhd.view_field(cfg, st, args.view))))
     print(f"t = {float(out.t):.6f}")
     if not args.stride:
         _maybe_render(args, frame(out))
@@ -449,8 +520,12 @@ def cmd_stam2d(args):
     def frame(st):
         return render_ramp(np.clip(np.asarray(st.d), 0, 1), normalize=False)
 
+    from .render.colormap import jet
+
     out = _run_headless(run, s, args.steps, "stam2d", cells=cfg.n * cfg.n,
-                        args=args, frame_fn=frame)
+                        args=args, frame_fn=frame,
+                        rgb_fn=lambda st: jet(
+                            np.clip(np.asarray(st.d), 0, 1)))
     if not args.stride:
         _maybe_render(args, frame(out))
 

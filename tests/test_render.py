@@ -87,3 +87,41 @@ def test_cli_colors_256(capsys):
           "--colors", "256", "--cols", "30", "--rows", "12"])
     out = capsys.readouterr().out
     assert "\x1b[38;5;" in out
+
+
+def test_png_writer(tmp_path):
+    import struct
+    import zlib
+
+    from fluidsims_tpu.io.png import write_png
+
+    rgb = np.zeros((5, 7, 3), np.uint8)
+    rgb[2, 3] = (255, 128, 0)
+    p = tmp_path / "t.png"
+    write_png(p, rgb)
+    data = p.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", data[16:24])
+    assert (w, h) == (7, 5)
+    # decode the IDAT scanlines back and compare
+    idat = data[data.index(b"IDAT") + 4:data.index(b"IEND") - 4]
+    raw = zlib.decompress(idat)
+    arr = np.frombuffer(raw, np.uint8).reshape(5, 1 + 7 * 3)
+    assert (arr[:, 0] == 0).all()  # filter byte
+    np.testing.assert_array_equal(arr[:, 1:].reshape(5, 7, 3), rgb)
+
+
+def test_cli_png_export(tmp_path, capsys):
+    from fluidsims_tpu.cli import main
+
+    final = tmp_path / "gs.png"
+    main(["gray-scott", "--nx", "32", "--ny", "16", "--steps", "4",
+          "--headless", "--png", str(final)])
+    assert final.exists()
+
+    seq = tmp_path / "seq.png"
+    main(["gray-scott", "--nx", "32", "--ny", "16", "--steps", "4",
+          "--stride", "2", "--png", str(seq)])
+    capsys.readouterr()
+    assert (tmp_path / "seq_0000.png").exists()
+    assert (tmp_path / "seq_0001.png").exists()
