@@ -106,7 +106,9 @@ def bench_hypersonic(jax, nx, ny, steps, impl):
 
 def _sweep(jax):
     """One (metric, value, unit) per solver, each at its reference-default
-    size.  Kept small enough that the whole sweep stays in minutes."""
+    size.  Fast solvers use enough steps that each timing window runs
+    ~0.5-1 s — the ~10 ms tunnel dispatch+sync latency otherwise skews
+    them.  The whole sweep stays in minutes."""
     import fluidsims_tpu.solvers.burgers as bg
     import fluidsims_tpu.solvers.flip_apic as fa
     import fluidsims_tpu.solvers.gray_scott as gs
@@ -122,27 +124,27 @@ def _sweep(jax):
 
     def gray_scott():
         cfg = gs.GrayScottConfig(nx=2048, ny=2048)
-        r = _chunked(jax, lambda s: gs.step(cfg, s), gs.init(cfg), 200, 100)
+        r = _chunked(jax, lambda s: gs.step(cfg, s), gs.init(cfg), 2000, 500)
         return "gray_scott_2048x2048_steps_per_sec", r, "steps/sec"
 
     def burgers():
         cfg = bg.BurgersConfig(nx=512, ny=512)
-        r = _chunked(jax, lambda s: bg.step(cfg, s), bg.init(cfg), 400, 100)
+        r = _chunked(jax, lambda s: bg.step(cfg, s), bg.init(cfg), 4000, 1000)
         return "burgers_512x512_steps_per_sec", r, "steps/sec"
 
     def shallow_water():
         cfg = sw.ShallowWaterConfig(nx=512, ny=512)
-        r = _chunked(jax, lambda s: sw.step(cfg, s), sw.init(cfg), 400, 100)
+        r = _chunked(jax, lambda s: sw.step(cfg, s), sw.init(cfg), 4000, 1000)
         return "shallow_water_512x512_steps_per_sec", r, "steps/sec"
 
     def mhd_b():
         cfg = mhd.MHDConfig()
-        r = _chunked(jax, lambda s: mhd.step(cfg, s), mhd.init(cfg), 400, 100)
+        r = _chunked(jax, lambda s: mhd.step(cfg, s), mhd.init(cfg), 4000, 1000)
         return "mhd_320x220_steps_per_sec", r, "steps/sec"
 
     def lbm_b():
         cfg = lbm.LBMConfig(nx=2048, ny=1024)
-        r = _chunked(jax, lambda s: lbm.step(cfg, s), lbm.init(cfg), 200, 50)
+        r = _chunked(jax, lambda s: lbm.step(cfg, s), lbm.init(cfg), 1000, 250)
         return "lbm_2048x1024_mlups", r * cfg.nx * cfg.ny / 1e6, "MLUPS"
 
     def sph_b():
