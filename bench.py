@@ -173,7 +173,7 @@ def _sweep(jax):
             _sync_tree(jax.jit(step)(state))
         except Exception:
             step = lambda s: h3.step(cfg, s)  # noqa: E731
-        r = _chunked(jax, step, state, 100, 25)
+        r = _chunked(jax, step, state, 400, 100)
         return "hypersonic3d_64_steps_per_sec", r, "steps/sec"
 
     def stam2d_b():
