@@ -163,7 +163,7 @@ def _spring_forces(cfg, pos, edges):
     return out
 
 
-def _repulsion_exact(cfg, pos):
+def _repulsion_exact(cfg, pos, rows=None):
     """Exact all-pairs 1/d^2 repulsion, chunked over bodies.
 
     The reference uses a theta=0.75 Barnes-Hut tree because its CPU cannot
@@ -173,11 +173,17 @@ def _repulsion_exact(cfg, pos):
     the true force (error 0, strictly tighter than any MAC).  The explicit
     difference formulation (not the |a|^2+|b|^2-2ab matmul identity) avoids
     catastrophic f32 cancellation for near pairs at 7e3-scale coordinates.
+
+    `rows` (a subset of positions) restricts the force TARGETS while still
+    summing over all of `pos` — the per-device slice of the multi-chip
+    runner (parallel/nbody_sharded.py), which scales the O(n^2) compute by
+    the device count.
     """
-    n, dims = pos.shape
-    CH = min(cfg.chunk, n)
-    n_pad = -(-n // CH) * CH
-    posp = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+    targets = pos if rows is None else rows
+    nt, dims = targets.shape
+    CH = min(cfg.chunk, nt)
+    n_pad = -(-nt // CH) * CH
+    posp = jnp.pad(targets, ((0, n_pad - nt), (0, 0)))
     # per-component (CH, n) blocks keep the body axis on the 128-wide lane
     # dimension; a (CH, n, dims) layout would use dims=2 of 128 lanes
     comps = [pos[:, k] for k in range(dims)]
@@ -195,7 +201,7 @@ def _repulsion_exact(cfg, pos):
         return jnp.stack([jnp.sum(w * dk, axis=1) for dk in d], -1)
 
     f = lax.map(chunk_force, posp.reshape(-1, CH, dims))
-    return f.reshape(n_pad, dims)[:n]
+    return f.reshape(n_pad, dims)[:nt]
 
 
 def _repulsion_grid(cfg, pos):

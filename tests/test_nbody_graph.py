@@ -123,3 +123,20 @@ def test_render_points_schemes():
     mono = render_points(pos, W=40, H=20, color=False)
     assert "\x1b" not in mono
     assert any(c in mono for c in "█▀▄")
+
+
+def test_sharded_nbody_matches_single_chip():
+    """Body-sharded exact all-pairs run on the 8-virtual-device mesh
+    matches the single-chip trajectory (spring psum reassociates sums ->
+    f32 tolerance)."""
+    from fluidsims_tpu.parallel import nbody_sharded as nsh
+    from fluidsims_tpu.parallel.mesh import make_mesh_1d
+
+    cfg = ng.GraphLayoutConfig(max_number=2048, chunk=256)
+    mesh = make_mesh_1d(8, axis="b")
+    s0 = ng.init(cfg)
+    out = nsh.make_sharded_run(cfg, mesh, 5)(nsh.shard_state(s0, mesh))
+    ref = jax.jit(lambda s: ng.run(cfg, s, 5))(s0)
+    scale = float(np.abs(np.asarray(ref.pos)).max())
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=2e-5 * scale)
