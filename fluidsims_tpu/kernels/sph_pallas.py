@@ -203,13 +203,9 @@ def _forces_kernel(cfg, offs, hw, K, *refs):
     out[3] = jnp.where(lo_y | hi_y, -e * vy, vy)
 
 
-def make_step_pallas(cfg: sph_mod.SPHConfig, interpret: bool = False):
-    """Build a frame-step function (state -> state) on the fused kernels.
-
-    Matches solvers/sph.step semantics (substeps, rain, tau bookkeeping)
-    within f32 summation-order differences.  XSPH is not supported here
-    (cfg.use_xsph must be False); use the XLA path for that mode.
-    """
+def grid_geometry(cfg: sph_mod.SPHConfig, interpret: bool = False):
+    """(grid, K, BW, PAD, n_copies): the cell-block geometry shared by the
+    single-chip step and the cell-sharded multi-chip runner."""
     if cfg.use_xsph:
         raise ValueError("pallas SPH engine does not implement XSPH")
     grid = cfg.grid()
@@ -222,11 +218,22 @@ def make_step_pallas(cfg: sph_mod.SPHConfig, interpret: bool = False):
         raise ValueError(
             f"grid cells {Gx}x{Gy}={G} must be a multiple of 128 on TPU")
     HB = -(-(Gx + 1) // BW)       # halo blocks per side; covers |off|<=Gx+1
-    PAD = HB * BW
-    Gp = G + 2 * PAD
+    return grid, K, BW, HB * BW, 2 * HB + 1
+
+
+def build_pair_calls(cfg: sph_mod.SPHConfig, n_blocks: int,
+                     interpret: bool = False):
+    """The fused density and forces+integrate pallas calls over a window
+    of `n_blocks` output blocks with PAD halo columns on each side.
+
+    The single-chip step passes the whole padded grid; the multi-chip
+    runner passes each device's block range (every output block is
+    computed by exactly one program either way, so sharded results are
+    bitwise equal to single-chip)."""
+    grid, K, BW, PAD, n_copies = grid_geometry(cfg, interpret)
+    Gx = grid.Gx
     hw = PAD                      # center offset inside the halo window
-    n_blocks = G // BW
-    n_copies = 2 * HB + 1
+    W = n_blocks * BW
     offs = [oy * Gx + ox for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
     dtype = cfg.jax_dtype
 
@@ -244,7 +251,7 @@ def make_step_pallas(cfg: sph_mod.SPHConfig, interpret: bool = False):
         in_specs=_halo_specs(2),
         out_specs=[pl.BlockSpec((K, BW), lambda i: (0, i),
                                 memory_space=pltpu.VMEM) for _ in range(2)],
-        out_shape=[jax.ShapeDtypeStruct((K, G), dtype) for _ in range(2)],
+        out_shape=[jax.ShapeDtypeStruct((K, W), dtype) for _ in range(2)],
         interpret=interpret,
     )
 
@@ -258,9 +265,24 @@ def make_step_pallas(cfg: sph_mod.SPHConfig, interpret: bool = False):
         ),
         out_specs=pl.BlockSpec((4, K, BW), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, K, G), dtype),
+        out_shape=jax.ShapeDtypeStruct((4, K, W), dtype),
         interpret=interpret,
     )
+    return density_call, forces_call
+
+
+def make_step_pallas(cfg: sph_mod.SPHConfig, interpret: bool = False):
+    """Build a frame-step function (state -> state) on the fused kernels.
+
+    Matches solvers/sph.step semantics (substeps, rain, tau bookkeeping)
+    within f32 summation-order differences.  XSPH is not supported here
+    (cfg.use_xsph must be False); use the XLA path for that mode.
+    """
+    grid, K, BW, PAD, n_copies = grid_geometry(cfg, interpret)
+    G = grid.Gx * grid.Gy
+    Gp = G + 2 * PAD
+    dtype = cfg.jax_dtype
+    density_call, forces_call = build_pair_calls(cfg, G // BW, interpret)
 
     fill = jnp.asarray([_SENTINEL, _SENTINEL, 0.0, 0.0], dtype)[:, None]
 

@@ -92,3 +92,35 @@ def test_sharded_mpm_matches_single_chip():
         np.asarray(out.pos), np.asarray(ref.pos)[perm], atol=3e-5)
     np.testing.assert_allclose(
         np.asarray(out.Jp), np.asarray(ref.Jp)[perm], rtol=2e-4)
+
+
+def test_sharded_sph_matches_single_chip():
+    """Cell-block-sharded SPH: every output block is computed by exactly
+    one program in both the single-chip and 8-device runs (disjoint-band
+    psum = all-gather), so trajectories agree to within compiler FMA
+    contraction of the surrounding glue — observed as at most 1 ulp on a
+    rain-spawn position when the two graphs fuse it differently."""
+    from fluidsims_tpu.kernels import sph_pallas as sp
+    from fluidsims_tpu.parallel import sph_sharded as ssh
+    from fluidsims_tpu.solvers import sph
+
+    # n=16384 -> 32x32 cells = 8 blocks of 128 -> one block per device
+    cfg = sph.SPHConfig(n=16384, rain=True, dtau=1e-2)
+    mesh = make_mesh_1d(8, axis="c")
+    s0 = sph.init(cfg)
+
+    out = ssh.make_sharded_run(cfg, mesh, 3, interpret=True)(
+        ssh.shard_state(s0, mesh))
+
+    step_p = sp.make_step_pallas(cfg, interpret=True)
+    ref = s0
+    for _ in range(3):
+        ref = step_p(ref)
+
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.tau), np.asarray(ref.tau))
+    # the pair physics itself is identical: velocities match exactly
+    assert (np.asarray(out.vel) == np.asarray(ref.vel)).mean() > 0.9999
