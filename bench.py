@@ -21,20 +21,21 @@ import os
 import sys
 import time
 
-# round-1 values (BASELINE.md) used when no prior BENCH_SWEEP.json exists
+# round-2 values (BASELINE.md): the baseline for round-3 comparisons
 PRIOR = {
-    "hypersonic2d_2048x2048_steps_per_sec": 218.7,
-    "gray_scott_2048x2048_steps_per_sec": 3872.0,
-    "burgers_512x512_steps_per_sec": 5448.0,
-    "shallow_water_512x512_steps_per_sec": 7633.0,
-    "mhd_320x220_steps_per_sec": 5976.0,
-    "lbm_2048x1024_mlups": 2500.0,
-    "sph_65536_mpsps": 2.07,
-    "flip_65536_mpsps": 5.4,
-    "mpm_32768_mpsps": 5.2,
-    "hypersonic3d_64_steps_per_sec": 525.0,
+    "hypersonic2d_2048x2048_steps_per_sec": 207.0,
+    "gray_scott_2048x2048_steps_per_sec": 4714.0,
+    "burgers_512x512_steps_per_sec": 22648.0,
+    "shallow_water_512x512_steps_per_sec": 26771.0,
+    "mhd_320x220_steps_per_sec": 13013.0,
+    "lbm_2048x1024_mlups": 2607.0,
+    "sph_65536_mpsps": 10.6,
+    "flip_65536_mpsps": 9.0,
+    "mpm_32768_mpsps": 11.6,
+    "hypersonic3d_64_steps_per_sec": 565.7,
     "stam2d_512x512_steps_per_sec": 32.0,
-    "stam3d_192_steps_per_sec": 4.5,
+    "stam3d_192_steps_per_sec": 29.7,
+    "nbody_131072_exact_steps_per_sec": 8.3,
     }
 
 

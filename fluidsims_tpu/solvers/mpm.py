@@ -313,8 +313,14 @@ def _step_dense(cfg: MPMConfig, s: MPMState,
     bx = jnp.clip(base[:, 0], 0, Gx - 1)
     by = jnp.clip(base[:, 1], 0, Gy - 1)
     grid = cd.DenseGrid(Gx=Gx, Gy=Gy, cell=dx, K=K)
-    cells = cd.bin_particles(grid, s.pos, cid=by * Gx + bx)
+    cid = by * Gx + bx
+    rank, ok, _ = cd.bin_rank(grid, s.pos, cid=cid)
+    iota = jnp.arange(n_p, dtype=jnp.int32)
+    didx = jnp.where(ok, cid * K + rank, Gx * Gy * K + iota)
 
+    # one direct value scatter for all channels + a ones channel that
+    # becomes the occupancy mask (skips bin_particles' inverse-map
+    # scatter + slot gather)
     packed = jnp.concatenate([
         frac,                                    # 0: fx, 1: fy
         m_v,                                     # 2, 3
@@ -322,9 +328,11 @@ def _step_dense(cfg: MPMConfig, s: MPMState,
         Fe.reshape(n_p, 4),                      # 8..11
         s.Jp[:, None],                           # 12
         s.pos,                                   # 13, 14
+        jnp.ones((n_p, 1), dtype),               # 15: occupancy
     ], -1)
-    d = cd.scatter_field(grid, cells, packed)    # (Gy, Gx, K, 15)
-    occf = cells.occ.astype(dtype)
+    d = jnp.zeros((Gx * Gy * K, 16), dtype).at[didx].set(
+        packed, mode="drop", unique_indices=True).reshape(Gy, Gx, K, 16)
+    occf = d[..., 15]
     dfx, dfy = d[..., 0], d[..., 1]
     wxs = _bspline_w(dfx)
     wys = _bspline_w(dfy)
@@ -402,10 +410,11 @@ def _step_dense(cfg: MPMConfig, s: MPMState,
 
     dense_out = jnp.stack(
         [nx_, ny_, nvx, nvy, n00, n01, n10, n11, Jp2], -1)
-    got = cd.gather_result(grid, cells, dense_out)   # (n_p, 9)
+    got = dense_out.reshape(Gx * Gy * K, 9)[
+        jnp.clip(didx, 0, Gx * Gy * K - 1)]
     old = jnp.concatenate(
         [s.pos, s.vel, s.F.reshape(n_p, 4), s.Jp[:, None]], -1)
-    out = jnp.where(cells.ok[:, None], got, old)
+    out = jnp.where(ok[:, None], got, old)
 
     return MPMState(
         pos=out[:, 0:2],
