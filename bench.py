@@ -31,7 +31,7 @@ PRIOR = {
     "lbm_2048x1024_mlups": 2607.0,
     "sph_65536_mpsps": 10.6,
     "flip_65536_mpsps": 9.0,
-    "mpm_32768_mpsps": 11.6,
+    "mpm_32768_mpsps": 10.6,
     "hypersonic3d_64_steps_per_sec": 565.7,
     "stam2d_512x512_steps_per_sec": 32.0,
     "stam3d_192_steps_per_sec": 29.7,
