@@ -209,3 +209,18 @@ def test_full_step_matches_allpairs_oracle_f64():
     assert np.abs(np.asarray(s.vel) - orc.vel).max() < 1e-13
     np.testing.assert_allclose(float(s.t), orc.t, rtol=1e-12)
     np.testing.assert_allclose(float(s.tau), orc.tau, rtol=1e-12)
+
+
+def test_rank_pallas_matches_bin_rank():
+    """MXU prefix-counting rank kernel (ops/rank_pallas.py, kept as a
+    documented negative result) is bit-identical to bin_rank's ranks."""
+    from fluidsims_tpu.ops import cell_dense as cd
+    from fluidsims_tpu.ops.rank_pallas import make_rank_kernel
+
+    rng = np.random.default_rng(3)
+    n, M = 5000, 1024
+    cid = jnp.asarray(rng.integers(0, M, n).astype(np.int32))
+    got = np.asarray(make_rank_kernel(n, M, interpret=True)(cid))
+    grid = cd.DenseGrid(Gx=32, Gy=32, cell=1.0, K=1 << 20)
+    rank, ok, _ = cd.bin_rank(grid, jnp.zeros((n, 2), jnp.float32), cid=cid)
+    np.testing.assert_array_equal(got, np.asarray(rank))
