@@ -236,55 +236,6 @@ static inline void hllc(const H2Sim *s, const double *qL, const double *qR,
     for (int k = 0; k < 4; k++) out[k] = Fb[k] + S * (Ustar[k] - Ub[k]);
 }
 
-#if defined(__AVX2__)
-/* Hand-vectorized compute_dt (behavioral spec: the reference's explicit
- * AVX2 gather kernels, tau_hypersonic_simd.c:467-615): 4 cells per
- * iteration through _mm256_i64gather_pd on the interleaved [i*4+field]
- * layout, vectorized cons_to_prim, masked blocks and the tail falling
- * back to the scalar path so the exact wall skipping is preserved.  The
- * reduction is a pure max, so the result is bitwise equal to the scalar
- * loop. */
-static inline __m256d vgather_field_i4(const double *Uflat, int i0, int i1,
-                                       int i2, int i3, long long field) {
-    __m256i idx64 = _mm256_set_epi64x(
-        (long long)i3 * 4 + field, (long long)i2 * 4 + field,
-        (long long)i1 * 4 + field, (long long)i0 * 4 + field);
-    return _mm256_i64gather_pd(Uflat, idx64, 8);
-}
-
-static inline void cons_to_prim4(const H2Sim *s, const double *Uflat, int i,
-                                 __m256d *rho, __m256d *u, __m256d *v,
-                                 __m256d *p) {
-    __m256d vrho = vgather_field_i4(Uflat, i, i + 1, i + 2, i + 3, 0);
-    __m256d vmx = vgather_field_i4(Uflat, i, i + 1, i + 2, i + 3, 1);
-    __m256d vmy = vgather_field_i4(Uflat, i, i + 1, i + 2, i + 3, 2);
-    __m256d vE = vgather_field_i4(Uflat, i, i + 1, i + 2, i + 3, 3);
-
-    vrho = _mm256_max_pd(vrho, _mm256_set1_pd(EPS_RHO));
-    __m256d vu = _mm256_div_pd(vmx, vrho);
-    __m256d vv = _mm256_div_pd(vmy, vrho);
-    __m256d kin = _mm256_mul_pd(
-        _mm256_set1_pd(0.5),
-        _mm256_mul_pd(vrho, _mm256_add_pd(_mm256_mul_pd(vu, vu),
-                                          _mm256_mul_pd(vv, vv))));
-    __m256d eint = _mm256_max_pd(_mm256_sub_pd(vE, kin),
-                                 _mm256_set1_pd(EPS_P));
-    *rho = vrho;
-    *u = vu;
-    *v = vv;
-    *p = _mm256_mul_pd(_mm256_set1_pd(s->gamma - 1.0), eint);
-}
-
-static inline double hmax4_pd(__m256d x) {
-    __m128d lo = _mm256_castpd256_pd128(x);
-    __m128d hi = _mm256_extractf128_pd(x, 1);
-    __m128d m = _mm_max_pd(lo, hi);
-    double a0 = _mm_cvtsd_f64(m);
-    double a1 = _mm_cvtsd_f64(_mm_unpackhi_pd(m, m));
-    return a0 > a1 ? a0 : a1;
-}
-#endif
-
 static inline double dt_cell_speed(const H2Sim *s, size_t i) {
     double q[4];
     cons_to_prim(s, s->U + i * 4, q);
@@ -292,37 +243,102 @@ static inline double dt_cell_speed(const H2Sim *s, size_t i) {
     return dmax(fabs(q[1]) + a, fabs(q[2]) + a);
 }
 
+#if defined(__AVX2__)
+/* Hand-vectorized wavespeed scan.
+ *
+ * Design: the state layout is cell-interleaved (h, w, 4), so four
+ * consecutive cells are sixteen consecutive doubles.  Instead of
+ * gathering each field across strided positions, issue four contiguous
+ * 32-byte loads -- one whole cell per register -- and transpose the 4x4
+ * register block into per-field vectors with unpack/permute moves
+ * (contiguous loads keep the access pattern inside one cache line pair;
+ * there are no gather instructions in this file).  Solid cells are
+ * handled by blending their lanes to the reduction seed rather than
+ * branching to scalar code, so blocks straddling the obstacle rim still
+ * run vectorized; only fully-solid blocks are skipped.  Each lane
+ * performs the exact arithmetic sequence of dt_cell_speed(), and the
+ * reduction is a pure max, so the result is bitwise equal to the scalar
+ * loop (asserted against the NumPy port in tests/test_hypersonic2d_cpu
+ * .py; same equality contract the reference pair claims for itself). */
+
+typedef struct {
+    __m256d rho, mx, my, E;
+} CellBlock4;
+
+static inline CellBlock4 load_cell_block4(const double *cell0) {
+    __m256d c0 = _mm256_loadu_pd(cell0);      /* rho0 mx0 my0 E0 */
+    __m256d c1 = _mm256_loadu_pd(cell0 + 4);
+    __m256d c2 = _mm256_loadu_pd(cell0 + 8);
+    __m256d c3 = _mm256_loadu_pd(cell0 + 12);
+    __m256d lo01 = _mm256_unpacklo_pd(c0, c1); /* rho0 rho1 my0 my1 */
+    __m256d hi01 = _mm256_unpackhi_pd(c0, c1); /* mx0  mx1  E0  E1  */
+    __m256d lo23 = _mm256_unpacklo_pd(c2, c3);
+    __m256d hi23 = _mm256_unpackhi_pd(c2, c3);
+    CellBlock4 b;
+    b.rho = _mm256_permute2f128_pd(lo01, lo23, 0x20);
+    b.my = _mm256_permute2f128_pd(lo01, lo23, 0x31);
+    b.mx = _mm256_permute2f128_pd(hi01, hi23, 0x20);
+    b.E = _mm256_permute2f128_pd(hi01, hi23, 0x31);
+    return b;
+}
+
+/* max cell wavespeed over cells [0, nvec) (nvec % 4 == 0), seeded */
+static double simd_max_wavespeed(const H2Sim *s, size_t nvec, double seed) {
+    const __m256d vgam = _mm256_set1_pd(s->gamma);
+    const __m256d vgm1 = _mm256_set1_pd(s->gamma - 1.0);
+    const __m256d vhalf = _mm256_set1_pd(0.5);
+    const __m256d veps_r = _mm256_set1_pd(EPS_RHO);
+    const __m256d veps_p = _mm256_set1_pd(EPS_P);
+    const __m256d vseed = _mm256_set1_pd(seed);
+    const __m256d vmag =
+        _mm256_castsi256_pd(_mm256_set1_epi64x(0x7fffffffffffffffLL));
+    __m256d acc = vseed;
+    for (size_t i = 0; i < nvec; i += 4) {
+        uint32_t mbits;
+        memcpy(&mbits, s->mask + i, 4);
+        if (mbits == 0x01010101u) continue; /* whole block inside solid */
+        CellBlock4 b = load_cell_block4(s->U + i * 4);
+        __m256d rho = _mm256_max_pd(b.rho, veps_r);
+        __m256d u = _mm256_div_pd(b.mx, rho);
+        __m256d v = _mm256_div_pd(b.my, rho);
+        __m256d ke = _mm256_mul_pd(
+            _mm256_mul_pd(vhalf, rho),
+            _mm256_add_pd(_mm256_mul_pd(u, u), _mm256_mul_pd(v, v)));
+        __m256d p = _mm256_mul_pd(
+            vgm1, _mm256_max_pd(_mm256_sub_pd(b.E, ke), veps_p));
+        __m256d a = _mm256_sqrt_pd(_mm256_div_pd(
+            _mm256_mul_pd(vgam, _mm256_max_pd(p, veps_p)),
+            _mm256_max_pd(rho, veps_r)));
+        __m256d spd = _mm256_max_pd(
+            _mm256_add_pd(_mm256_and_pd(u, vmag), a),
+            _mm256_add_pd(_mm256_and_pd(v, vmag), a));
+        if (mbits) { /* rim block: silence solid lanes, keep fluid lanes */
+            __m256d keep = _mm256_castsi256_pd(_mm256_set_epi64x(
+                s->mask[i + 3] ? 0 : -1LL, s->mask[i + 2] ? 0 : -1LL,
+                s->mask[i + 1] ? 0 : -1LL, s->mask[i + 0] ? 0 : -1LL));
+            spd = _mm256_blendv_pd(vseed, spd, keep);
+        }
+        acc = _mm256_max_pd(acc, spd);
+    }
+    /* horizontal max: fold the 128-bit halves, then the 64-bit pairs */
+    acc = _mm256_max_pd(acc, _mm256_permute2f128_pd(acc, acc, 0x01));
+    acc = _mm256_max_pd(acc, _mm256_permute_pd(acc, 0x5));
+    return _mm256_cvtsd_f64(acc);
+}
+#endif
+
 static double compute_dt(const H2Sim *s) {
-    int w = s->w, h = s->h;
+    size_t n = (size_t)s->w * s->h;
     double smax = 1e-12;
-    size_t n = (size_t)w * h;
     size_t i = 0;
 
 #if defined(__AVX2__)
-    __m256d vmaxs = _mm256_set1_pd(smax);
-    const double *Uflat = s->U;
-    for (; i + 4 <= n; i += 4) {
-        if (s->mask[i] | s->mask[i + 1] | s->mask[i + 2] | s->mask[i + 3]) {
-            for (size_t k = i; k < i + 4; k++) {
-                if (s->mask[k]) continue;
-                double sp = dt_cell_speed(s, k);
-                if (sp > smax) smax = sp;
-            }
-            continue;
-        }
-        __m256d vrho, vu, vv, vp;
-        cons_to_prim4(s, Uflat, (int)i, &vrho, &vu, &vv, &vp);
-        __m256d a = _mm256_sqrt_pd(_mm256_div_pd(
-            _mm256_mul_pd(_mm256_set1_pd(s->gamma),
-                          _mm256_max_pd(vp, _mm256_set1_pd(EPS_P))),
-            _mm256_max_pd(vrho, _mm256_set1_pd(EPS_RHO))));
-        __m256d sign = _mm256_set1_pd(-0.0);
-        __m256d sx = _mm256_add_pd(_mm256_andnot_pd(sign, vu), a);
-        __m256d sy = _mm256_add_pd(_mm256_andnot_pd(sign, vv), a);
-        vmaxs = _mm256_max_pd(vmaxs, _mm256_max_pd(sx, sy));
+    size_t nvec = n & ~(size_t)3;
+    if (nvec) {
+        double vm = simd_max_wavespeed(s, nvec, smax);
+        if (vm > smax) smax = vm;
+        i = nvec;
     }
-    double vm = hmax4_pd(vmaxs);
-    if (vm > smax) smax = vm;
 #endif
 
     for (; i < n; i++) {
