@@ -44,7 +44,7 @@ def _common(p, steps_default=200):
 def _bench_report(name, steps, wall, cells=None):
     fps = steps / wall if wall > 0 else 0.0
     line = f"{name}: {steps} steps in {wall:.3f}s -> {fps:.1f} steps/s"
-    if cells:
+    if cells and wall > 0:
         mlups = cells * steps / wall / 1e6
         line += f", {mlups:.1f} MLUPS"
     print(line)
@@ -82,6 +82,15 @@ def _run_headless(run_jit, state, steps, name, cells=None, chunk=50,
 
         state = load_state(args.load_state, state)
         print(f"resumed from {args.load_state}")
+
+    if args is not None and getattr(args, "png", None) and rgb_fn is None:
+        print(f"WARNING: --png has no effect for {name} (no RGB export for "
+              "this solver)", file=sys.stderr)
+
+    if steps <= 0:
+        _bench_report(name, 0, 0.0, cells)
+        _maybe_png(args, rgb_fn, state)
+        return _maybe_save(args, state)
 
     live = (args is not None and frame_fn is not None
             and (args.render or getattr(args, "png", None))
@@ -144,17 +153,20 @@ def _maybe_render(args, text):
         print(text)
 
 
-def _report_overflow(n_dropped: int, n_total: int):
+def _report_overflow(n_dropped: int, n_total: int,
+                     remedy="raise --bin-capacity or use --engine scatter "
+                            "for exact physics"):
     """Surface cell-dense capacity overflow (ops/cell_dense.py): particles
-    beyond a cell's K slots are dropped from interactions.  The exact
-    engine='scatter' path (FLIP/MPM) or a larger --bin-capacity avoids it."""
+    beyond a cell's K slots are dropped from interactions.  `remedy` names
+    only flags the calling subcommand actually has (sph has no scatter
+    engine, for instance)."""
     if n_dropped > 0:
         import sys
 
         print(
             f"WARNING: {n_dropped}/{n_total} particles exceed the cell-dense "
             f"bin capacity and are excluded from interactions this frame; "
-            f"raise --bin-capacity or use --engine scatter for exact physics",
+            f"{remedy}",
             file=sys.stderr,
         )
 
@@ -513,7 +525,9 @@ def cmd_stam2d(args):
     from .render.terminal import render_ramp
     from .solvers import stam2d
 
-    cfg = stam2d.Stam2DConfig(n=args.n, dtype=args.dtype)
+    cfg = stam2d.Stam2DConfig(n=args.n, dtype=args.dtype,
+                              engine=args.engine,
+                              advect_band=args.advect_band)
     s = stam2d.init(cfg)
     run = jax.jit(lambda st, n: stam2d.run(cfg, st, n), static_argnums=1)
 
@@ -526,6 +540,13 @@ def cmd_stam2d(args):
                         args=args, frame_fn=frame,
                         rgb_fn=lambda st: jet(
                             np.clip(np.asarray(st.d), 0, 1)))
+    if stam2d.resolve_engine(cfg) == "pallas":
+        over = int(stam2d.advect_overflow_count(cfg, out))
+        if over:
+            print(f"WARNING: {over} cells exceeded the advect_band="
+                  f"{cfg.advect_band} backtrace band on the final frame "
+                  "(clamped); raise --advect-band or use --engine xla for "
+                  "the exact gather path", file=sys.stderr)
     if not args.stride:
         _maybe_render(args, frame(out))
 
@@ -578,7 +599,7 @@ def cmd_sph(args):
     cfg = sph.SPHConfig(n=args.n, dtau=args.dTau, cfl=args.CFL,
                         visc_alpha=args.visc, visc_substeps=args.visc_substeps,
                         rain=not args.no_rain, engine=args.engine,
-                        dtype=args.dtype)
+                        cell_capacity=args.bin_capacity, dtype=args.dtype)
     s = sph.init(cfg)
     run = jax.jit(lambda st, n: sph.run(cfg, st, n), static_argnums=1)
 
@@ -643,7 +664,8 @@ def cmd_sph(args):
     out = _run_headless(run, s, args.steps, "sph", args=args, frame_fn=frame)
     print(f"t = {float(out.t):.4f} tau = {float(out.tau):.4f}  "
           f"({cfg.n * args.steps / 1e6:.2f}M particle-steps)")
-    _report_overflow(int(sph.overflow_count(cfg, out)), cfg.n)
+    _report_overflow(int(sph.overflow_count(cfg, out)), cfg.n,
+                     remedy="raise --bin-capacity")
     if args.render and not args.stride:
         print(frame(out))
 
@@ -907,6 +929,15 @@ def build_parser():
 
     p = sub.add_parser("stam2d", help="stable fluids log-eta grid (js_cuda)")
     p.add_argument("--n", type=int, default=512)
+    p.add_argument("--engine", choices=("auto", "pallas", "xla"),
+                   default="auto",
+                   help="auto = banded VMEM advection kernel on TPU "
+                        "(kernels/stam2d_pallas.py), exact XLA gathers "
+                        "elsewhere")
+    p.add_argument("--advect-band", type=int, default=16,
+                   dest="advect_band",
+                   help="pallas engine: row backtrace band in cells; "
+                        "farther backtraces clamp (warned)")
     _common(p, 100)
     p.set_defaults(fn=cmd_stam2d)
 
@@ -939,6 +970,9 @@ def build_parser():
     p.add_argument("--engine", choices=("auto", "pallas", "xla"),
                    default="auto",
                    help="auto = fused Pallas kernels on TPU, XLA elsewhere")
+    p.add_argument("--bin-capacity", type=int, default=0, dest="bin_capacity",
+                   help="cell-dense slots per cell (0 = auto); particles "
+                        "beyond it are dropped and reported")
     _common(p, 100)
     p.set_defaults(fn=cmd_sph)
 

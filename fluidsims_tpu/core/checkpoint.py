@@ -37,11 +37,18 @@ def load_state(path, like) -> object:
     leaves, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves)
     if "__treedef__" in data:
+        # treedef repr is not a stable serialization across JAX versions, so
+        # a string mismatch alone is only a warning; the authoritative checks
+        # are the per-leaf count/shape/dtype validations below.
         saved_td = json.loads(bytes(data["__treedef__"]).decode())
         if saved_td != str(treedef):
-            raise ValueError(
-                "checkpoint tree structure does not match the template state:\n"
-                f"  saved:    {saved_td}\n  template: {treedef}"
+            import warnings
+
+            warnings.warn(
+                "checkpoint treedef string differs from the template state "
+                "(may be a JAX version change); validating leaf count and "
+                f"shapes instead:\n  saved:    {saved_td}\n"
+                f"  template: {treedef}"
             )
     restored = []
     for i, ref in enumerate(leaves):

@@ -1,0 +1,149 @@
+"""Fused VMEM-resident semi-Lagrangian advection for the 2-D Stam solver.
+
+Behavioral spec: k_adv (js_cuda.cu:82-103) — bilinear back-trace on the
+log-η grid with the sample clamped to [0.5, N+0.5] and a zero halo ring.
+
+Why a kernel: the XLA path lowers the 4-corner bilinear fetch to generic
+element gathers that run at ~117 M elem/s on TPU (measured, BASELINE.md),
+87% of the 512² step.  Mosaic has no arbitrary 2-D gather either, but it
+*does* vectorize `take_along_axis` along the 128-lane dimension.  The
+kernel therefore decomposes the fetch:
+
+  * columns (lane dim): EXACT arbitrary gather, built from 128-wide
+    lane gathers over the 4 column chunks of each row + chunk selects;
+  * rows (sublane dim): a banded shift — the kernel walks source-row
+    offsets in [-K, K+1] (aligned 8-row dynamic loads + static
+    sub-shifts, since Mosaic requires sublane starts provably 8-aligned)
+    and selects each output element's two row corners by comparing its
+    per-element displacement against the walked offset.
+
+Within the band the result is identical to the exact gather (same
+corners, same weights).  Backtraces farther than K rows are clamped to
+the band edge and counted (`ovf` output); measured on the reference
+configuration the overflow fraction at K=16 is ~5e-5 of cells
+(`advect_overflow_count`, the CLI warns).  This mirrors the dense-shift
+advection contract of kernels/stam3d_pallas.py (advect_k), with the
+exact XLA path selectable via engine='xla'.
+
+Measured on a v5e chip at 512² f32: 1.05 ms/advect vs 12.5 ms for the
+XLA gather path (scan-amortized), ~12x.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["make_advect_pallas"]
+
+_LANE = 128
+
+
+def _colgather(S, c, n):
+    """G[j,i] = S[j, c[j,i]] for c in [-1, n] (out of range -> 0), built
+    from 128-lane `take_along_axis` over column chunks."""
+    outs = []
+    for oc in range(n // _LANE):
+        idx = c[:, oc * _LANE:(oc + 1) * _LANE]
+        chunk_of = idx >> 7
+        acc = jnp.zeros((n, _LANE), S.dtype)
+        for cb in range(n // _LANE):
+            cl = jnp.clip(idx - cb * _LANE, 0, _LANE - 1)
+            g = jnp.take_along_axis(S[:, cb * _LANE:(cb + 1) * _LANE], cl,
+                                    axis=1)
+            acc = jnp.where(chunk_of == cb, g, acc)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
+def _advect_kernel(qpad_ref, uu_ref, vv_ref, eta_ref, xp_ref, yp_ref,
+                   out_ref, ovf_ref, *, dt, n, k_band):
+    eta = eta_ref[0, :]
+    xp = xp_ref[0, :]
+    yp = yp_ref[0, :]
+    deta = eta[1] - eta[0]
+    eta_min = eta[0] - 0.5 * deta
+
+    # back-trace in η-space, converted by the local metric (k_adv :86-92)
+    bx = eta[None, :] - dt * uu_ref[:] / xp[None, :]
+    by = eta[:, None].reshape(n, 1) - dt * vv_ref[:] / yp[:, None].reshape(n, 1)
+    sarr = jnp.clip((bx - eta_min) / deta + 0.5, 0.5, n + 0.5)
+    tarr = jnp.clip((by - eta_min) / deta + 0.5, 0.5, n + 0.5)
+    i0 = jnp.floor(sarr).astype(jnp.int32)   # padded-space col in [0, n]
+    j0 = jnp.floor(tarr).astype(jnp.int32)   # padded-space row in [0, n]
+    s1 = sarr - i0.astype(sarr.dtype)
+    t1 = tarr - j0.astype(tarr.dtype)
+    s0 = 1.0 - s1
+    t0 = 1.0 - t1
+    c_lo = i0 - 1                            # interior cols of the 2 corners
+    c_hi = i0
+    row_id = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    disp = j0 - 1 - row_id                   # interior row offset, corner 1
+    disp_c = jnp.clip(disp, -k_band, k_band)
+    ovf_ref[:, :] = jnp.sum((disp != disp_c).astype(jnp.int32),
+                            keepdims=True)
+
+    def corner_pair(slab, koff, acc):
+        g_lo = _colgather(slab, c_lo, n)
+        g_hi = _colgather(slab, c_hi, n)
+        p = s0 * g_lo + s1 * g_hi
+        w = (jnp.where(disp_c == koff, t0, 0.0)
+             + jnp.where(disp_c == koff - 1, t1, 0.0))
+        return acc + w * p
+
+    n_kh = (2 * k_band + 2 + 7) // 8
+
+    def body(kh, acc):
+        base = pl.multiple_of(kh * 8, 8)
+        slab8 = qpad_ref[pl.ds(base, n + 8), :]
+        for kl in range(8):
+            acc = corner_pair(slab8[kl:kl + n, :], kh * 8 + kl - k_band, acc)
+        return acc
+
+    acc = lax.fori_loop(0, n_kh - 1, body, jnp.zeros((n, n), out_ref.dtype))
+    # static tail: only the offsets the band actually needs
+    slab8 = qpad_ref[(n_kh - 1) * 8:(n_kh - 1) * 8 + n + 8, :]
+    for kl in range(2 * k_band + 2 - (n_kh - 1) * 8):
+        acc = corner_pair(slab8[kl:kl + n, :],
+                          (n_kh - 1) * 8 + kl - k_band, acc)
+    out_ref[:] = acc
+
+
+def make_advect_pallas(cfg, interpret: bool = False):
+    """Build `advect(q0, uu, vv) -> (q_new, overflow_count)` for cfg.
+
+    Requires float32 and n % 128 == 0 (column-chunked lane gathers)."""
+    n = cfg.n
+    K = cfg.advect_band
+    if n % _LANE:
+        raise ValueError(f"pallas advection requires n % {_LANE} == 0")
+    dt_ = cfg.jax_dtype
+    deta = (cfg.eta_max - cfg.eta_min) / n
+    idx = jnp.arange(1, n + 1, dtype=dt_)
+    eta = (cfg.eta_min + (idx - 0.5) * deta).reshape(1, n)
+    xp = (cfg.x0 * jnp.exp(eta)).reshape(1, n)
+    yp = (cfg.y0 * jnp.exp(eta)).reshape(1, n)
+    n_kh = (2 * K + 2 + 7) // 8
+
+    call = pl.pallas_call(
+        functools.partial(_advect_kernel, dt=cfg.dt, n=n, k_band=K),
+        out_shape=(jax.ShapeDtypeStruct((n, n), dt_),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def advect(q0, uu, vv):
+        # rows: K zeros on top (offset -K), then enough tail zeros that the
+        # last aligned 8-row load stays in bounds
+        qpad = jnp.pad(q0, ((K, 8 * n_kh - K), (0, 0)))
+        out, ovf = call(qpad, uu, vv, eta, xp, yp)
+        return out, ovf[0, 0]
+
+    return advect

@@ -15,9 +15,11 @@ Behavioral spec: js_cuda.cu — 512² double-precision solver with:
 
 TPU design: fields are stored as interior (N, N) arrays; the zero ring is
 realized by jnp.pad at use sites.  The Jacobi loop is a lax.fori_loop; the
-bilinear back-trace uses flattened 1-D gathers (ops/gather.py).  Everything under one
-jit.  Default dtype float32 (the reference is f64; dtype="float64" matches
-it exactly under x64).
+bilinear back-trace has two engines (resolve_engine): 'xla' uses flattened
+1-D gathers (ops/gather.py, exact) and 'pallas' the banded VMEM advection
+kernel (kernels/stam2d_pallas.py, ~12x, clamps + counts backtraces beyond
+advect_band rows).  Everything under one jit.  Default dtype float32 (the
+reference is f64; dtype="float64" matches it exactly under x64).
 """
 
 from __future__ import annotations
@@ -31,7 +33,8 @@ from jax import lax
 
 from ..core.config import BaseConfig
 
-__all__ = ["Stam2DConfig", "Stam2DState", "init", "step", "run"]
+__all__ = ["Stam2DConfig", "Stam2DState", "init", "step", "run",
+           "resolve_engine", "advect_overflow_count"]
 
 
 @dataclass(frozen=True)
@@ -46,12 +49,21 @@ class Stam2DConfig(BaseConfig):
     eta_min: float = -1.5
     eta_max: float = 1.5
     jacobi_iters: int = 40
+    # pallas advection: row-displacement band in cells; backtraces farther
+    # than this are clamped to the band edge and counted
+    # (advect_overflow_count) — the kernels/stam2d_pallas.py contract
+    advect_band: int = 16
+    engine: str = "auto"   # auto | pallas | xla
     dtype: str = "float32"
 
     def validate(self):
         self._require(self.n > 0, "n must be positive")
         self._require(self.jacobi_iters > 0, "jacobi_iters must be positive")
         self._require(self.eta_max > self.eta_min, "eta range must be nonempty")
+        self._require(1 <= self.advect_band <= 128,
+                      "advect_band must be in [1, 128]")
+        self._require(self.engine in ("auto", "pallas", "xla"),
+                      "engine must be auto, pallas or xla")
 
 
 class Stam2DState(NamedTuple):
@@ -206,11 +218,58 @@ def _add_source(cfg, u, v, d, step_idx):
     return u, v, d
 
 
+def resolve_engine(cfg: Stam2DConfig) -> str:
+    """Static engine choice: the banded VMEM advection kernel
+    (kernels/stam2d_pallas.py) when eligible on TPU, XLA otherwise."""
+    if cfg.engine == "xla":
+        return "xla"
+    eligible = cfg.dtype == "float32" and cfg.n % 128 == 0
+    if cfg.engine == "pallas":
+        if not eligible:
+            raise ValueError(
+                "engine='pallas' requires float32 and n % 128 == 0")
+        return "pallas"
+    import jax
+
+    return "pallas" if (eligible and jax.default_backend() == "tpu") else "xla"
+
+
+def advect_overflow_count(cfg: Stam2DConfig, s: Stam2DState):
+    """Cells whose backtrace row displacement exceeds advect_band in the
+    frame's advections (velocity advect uses u0/v0, density advect uses
+    u/v) — i.e. where the pallas band deviates from the exact gather.
+    Zero means the frame's pallas advection was exact.  Diagnostic; the
+    CLI warns when nonzero."""
+    n = cfg.n
+    deta = (cfg.eta_max - cfg.eta_min) / n
+    idx = jnp.arange(1, n + 1, dtype=s.u.dtype)
+    eta = cfg.eta_min + (idx - 0.5) * deta
+    yp = cfg.y0 * jnp.exp(eta)[:, None]
+    over = jnp.zeros((n, n), bool)
+    for vv in (s.v0, s.v):
+        by = eta[:, None] - cfg.dt * vv / yp
+        tarr = jnp.clip((by - cfg.eta_min) / deta + 0.5, 0.5, n + 0.5)
+        disp = jnp.floor(tarr) - idx[:, None]
+        over = over | (jnp.abs(disp) > cfg.advect_band)
+    return jnp.sum(over)
+
+
 def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
     """One frame: decay -> source -> vel_step -> dens_step
     (main loop, js_cuda.cu:361-368)."""
     dx_w = jnp.asarray(_cell_widths(cfg), cfg.jax_dtype)
     dy_w = dx_w
+
+    if resolve_engine(cfg) == "pallas":
+        import jax
+
+        from ..kernels.stam2d_pallas import make_advect_pallas
+
+        adv = make_advect_pallas(cfg,
+                                 interpret=jax.default_backend() != "tpu")
+        advect = lambda q0, uu, vv: adv(q0, uu, vv)[0]  # noqa: E731
+    else:
+        advect = lambda q0, uu, vv: _advect(cfg, q0, uu, vv)  # noqa: E731
 
     d = s.d * cfg.dens_decay
     u, v, d = _add_source(cfg, s.u, s.v, d, s.step_idx)
@@ -219,13 +278,13 @@ def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
     u0 = _diffuse(cfg, s.u0, u, cfg.visc)
     v0 = _diffuse(cfg, s.v0, v, cfg.visc)
     u0, v0 = _project(cfg, u0, v0, dx_w, dy_w)
-    u = _advect(cfg, u0, u0, v0)
-    v = _advect(cfg, v0, u0, v0)
+    u = advect(u0, u0, v0)
+    v = advect(v0, u0, v0)
     u, v = _project(cfg, u, v, dx_w, dy_w)
 
     # dens_step (js_cuda.cu:184-191)
     d0 = _diffuse(cfg, s.d0, d, cfg.diff)
-    d = _advect(cfg, d0, u, v)
+    d = advect(d0, u, v)
 
     return Stam2DState(u=u, v=v, u0=u0, v0=v0, d=d, d0=d0,
                        step_idx=s.step_idx + 1)
