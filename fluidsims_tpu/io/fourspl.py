@@ -118,11 +118,39 @@ def read_4spl(path) -> Splat4DVideo:
                         version=(v0, v1, v2, v3))
 
 
+def gamma_thresholds(gamma: float = 0.65, levels: int = 256) -> np.ndarray:
+    """tau_k = (k/(levels-1))**(1/gamma) for k = 1..levels-1, computed in
+    f64 and rounded once to f32.  index(v) = #{k : v_norm >= tau_k}
+    reproduces trunc(v_norm**gamma * 255) up to one index at
+    representation boundaries, with NO pow or divide in the per-voxel
+    path — which is what makes the host (NumPy) and device (XLA TPU)
+    quantizers byte-identical (TPU f32 division is reciprocal-based and
+    pow is transcendental; sub/mul/compare are exactly rounded on both)."""
+    k = np.arange(1, levels, dtype=np.float64)
+    return ((k / (levels - 1)) ** (1.0 / gamma)).astype(np.float32)
+
+
 def quantize_frame(field: np.ndarray, gamma: float = 0.65) -> np.ndarray:
     """Per-frame min/max normalize + gamma + 8-bit quantize
-    (th3cs.cu:1199-1222)."""
+    (th3cs.cu:1199-1222), as a threshold comparison (gamma_thresholds)."""
     f = np.asarray(field, np.float32)
     mn = f.min()
-    rng = max(f.max() - mn, 1e-12)
-    norm = ((f - mn) / rng) ** gamma
-    return np.clip((norm * 255.0).astype(np.int32), 0, 255).astype(np.uint8)
+    rng = np.maximum(np.float32(f.max() - mn), np.float32(1e-12))
+    ts = gamma_thresholds(gamma) * rng          # f32 multiplies
+    idx = np.searchsorted(ts, (f - mn).ravel(), side="right")
+    return idx.astype(np.uint8).reshape(f.shape)
+
+
+def quantize_frame_device(field, gamma: float = 0.65):
+    """quantize_frame on-device (jnp): byte-identical to the host version
+    — both count the same f32 threshold comparisons (th3cs.cu computes
+    schlieren on-device, :641, and quantizes in C, :1199-1222; here both
+    stages stay on-device and only uint8 indices cross the host link)."""
+    import jax.numpy as jnp
+
+    f = field.astype(jnp.float32)
+    mn = jnp.min(f)
+    rng = jnp.maximum(jnp.max(f) - mn, jnp.float32(1e-12))
+    ts = jnp.asarray(gamma_thresholds(gamma)) * rng
+    idx = jnp.sum((f - mn)[..., None] >= ts, axis=-1, dtype=jnp.int32)
+    return idx.astype(jnp.uint8)

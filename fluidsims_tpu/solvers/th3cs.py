@@ -37,31 +37,44 @@ def export_4spl(
     cfg = cfg or h3.default_config()
     state = h3.init(cfg)
 
-    run_frame = None
+    # one fused dispatch per frame: steps -> schlieren -> on-device
+    # quantization; only uint8 indices cross the host link, and all
+    # frames are dispatched before any is collected so transfers overlap
+    # compute (the reference's one-readback-per-frame discipline, made
+    # async)
+    def make_frame_fn(step_once):
+        from ..core.stepper import scan_steps
+
+        def frame_fn(s):
+            s2 = scan_steps(step_once, s, steps_per_frame)
+            vol = h3.vis_field(cfg, s2, "schlieren")
+            return s2, fourspl.quantize_frame_device(vol, gamma=0.65)
+
+        return jax.jit(frame_fn)
+
+    frame_fn = None
     if impl in ("pallas", "auto"):
         try:
-            from ..core.stepper import scan_steps
             from ..kernels import hypersonic3d_pallas as hp3
 
-            step_p = hp3.make_step_pallas(cfg)
-            run_frame = jax.jit(
-                lambda s: scan_steps(step_p, s, steps_per_frame))
-            jax.block_until_ready(run_frame(state).xi)
+            frame_fn = make_frame_fn(hp3.make_step_pallas(cfg))
+            jax.block_until_ready(frame_fn(state)[1])
         except Exception:
             if impl == "pallas":
                 raise
-            run_frame = None
-    if run_frame is None:
-        run_frame = jax.jit(lambda s: h3.run(cfg, s, steps_per_frame))
-    sch = jax.jit(lambda s: h3.vis_field(cfg, s, "schlieren"))
+            frame_fn = None
+    if frame_fn is None:
+        frame_fn = make_frame_fn(lambda s: h3.step(cfg, s))
 
-    indices = np.empty((frames, cfg.nz, cfg.ny, cfg.nx), np.uint8)
+    pending = []
     for f in range(frames):
-        state = run_frame(state)
-        vol = np.asarray(sch(state))
-        indices[f] = fourspl.quantize_frame(vol, gamma=0.65)
+        state, qf = frame_fn(state)
+        pending.append(qf)
+    indices = np.empty((frames, cfg.nz, cfg.ny, cfg.nx), np.uint8)
+    for f, qf in enumerate(pending):
+        indices[f] = np.asarray(qf)
         if verbose:
-            print(f"frame {f + 1}/{frames} t={float(state.t):.6f}")
+            print(f"frame {f + 1}/{frames}")
 
     video = fourspl.Splat4DVideo(
         width=cfg.nx, height=cfg.ny, depth=cfg.nz, frames=frames,

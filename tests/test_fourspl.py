@@ -95,3 +95,27 @@ def test_th3cs_export_small(tmp_path):
     r = fourspl.read_4spl(p)
     assert r.frames == 2 and r.width == 12
     np.testing.assert_array_equal(r.indices, video.indices)
+
+
+def test_quantize_device_matches_host_bytes():
+    """The on-device quantizer must produce byte-identical indices to the
+    host quantizer — the property that lets th3cs transfer 1 byte/voxel
+    (threshold comparison, no pow/divide in the per-voxel path)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    for shape in ((16, 16, 16), (8, 32, 8)):
+        vol = (rng.random(shape, dtype=np.float32) * rng.uniform(0.1, 50)
+               + rng.uniform(-5, 5)).astype(np.float32)
+        host = fourspl.quantize_frame(vol, gamma=0.65)
+        dev = np.asarray(jax.jit(
+            lambda v: fourspl.quantize_frame_device(v, 0.65))(vol))
+        np.testing.assert_array_equal(host, dev)
+    # exact-boundary values: v_norm landing on representable thresholds
+    tau = fourspl.gamma_thresholds(0.65)
+    vol = np.concatenate([tau, tau, np.array([0.0, 1.0], np.float32)])
+    vol = vol.reshape(1, 16, -1)
+    host = fourspl.quantize_frame(vol, gamma=0.65)
+    dev = np.asarray(jax.jit(
+        lambda v: fourspl.quantize_frame_device(v, 0.65))(vol))
+    np.testing.assert_array_equal(host, dev)
