@@ -179,6 +179,23 @@ def _norm01(a):
     return np.nan_to_num((a - lo) / max(hi - lo, 1e-30))
 
 
+def _terminal_auto_size(nx, ny, render, halfblocks=False, fallback=128):
+    """Size the grid to the terminal when --nx/--ny are 0, like the
+    reference (tau_gray_scott.cu:283-296): width = columns, height =
+    rows-1 (doubled for half-block rendering); headless falls back to
+    a fixed size."""
+    import shutil
+
+    if nx and ny:
+        return nx, ny
+    cols, rows = shutil.get_terminal_size(fallback=(fallback, fallback))
+    if not render:
+        cols = rows = fallback
+    else:
+        rows = max(rows - 1, 1) * (2 if halfblocks else 1)
+    return nx or cols, ny or rows
+
+
 def cmd_gray_scott(args):
     import jax
     import numpy as np
@@ -186,8 +203,10 @@ def cmd_gray_scott(args):
     from .render.terminal import render_halfblocks, render_ramp
     from .solvers import gray_scott as gs
 
+    nx, ny = _terminal_auto_size(args.nx, args.ny, args.render,
+                                 args.halfblocks)
     cfg = gs.GrayScottConfig(
-        nx=args.nx, ny=args.ny, dx=args.dx, dt=args.dt, Du=args.Du,
+        nx=nx, ny=ny, dx=args.dx, dt=args.dt, Du=args.Du,
         Dv=args.Dv, feed=args.F, kill=args.k, seed=args.seed,
         dtype=args.dtype,
     )
@@ -764,6 +783,153 @@ def cmd_hypersonic2d_cpu(args):
           f"{rho[~mask].max():.4f}]")
 
 
+def _nbody_live(args, cfg):
+    """Live terminal view of the relaxing layout with the reference's
+    camera keys — pause, refit, reset, color cycle, +/- frame stride,
+    pan/zoom in 2-D (number_fluid2d.c:805-888), orbit yaw/pitch/zoom in
+    3-D (number_fluid3d.c:909-958)."""
+    import numpy as np
+
+    from .core.interactive import interactive_loop
+    from .render import points as rp
+    from .solvers import nbody_graph as ng
+
+    schemes = list(rp.SCHEMES)
+    box = {"scheme": args.scheme, "cam": None}
+    three_d = cfg.dims == 3
+
+    if args.native:
+        from .solvers import nbody_native as nn
+
+        p0, v0, edges = ng.init_arrays(cfg)
+        eng = nn.BHEngine(cfg, edges, n_threads=args.threads or None,
+                          theta=args.theta)
+        eng.__enter__()
+        eng.set_state(p0, v0)
+
+        def make_runner():
+            def run(state, n):
+                eng.run(n)
+                return eng.get_state()[0]
+
+            return run
+
+        state0 = p0
+        n_edges = len(edges)
+
+        def reset(ctx):
+            eng.set_state(p0, v0)
+            ctx.state = p0
+            box["cam"] = None
+    else:
+        import jax
+
+        s0 = ng.init(cfg)
+        jrun = jax.jit(lambda st, n: ng.run(cfg, st, n), static_argnums=1)
+
+        def make_runner():
+            return jrun
+
+        state0 = s0
+        n_edges = int(s0.edges.shape[0])
+
+        def reset(ctx):
+            ctx.state = s0
+            box["cam"] = None
+
+    def pos_of(state):
+        return np.asarray(state if args.native else state.pos)
+
+    def frame(state):
+        pos = pos_of(state)
+        if box["cam"] is None:
+            box["cam"] = (rp.fit_orbit(pos) if three_d
+                          else rp.camera_fit(pos, args.cols, args.rows))
+        if three_d:
+            return rp.render_points_3d(pos, args.cols, args.rows,
+                                       scheme=box["scheme"],
+                                       color=not args.no_color,
+                                       camera=box["cam"])
+        return rp.render_points(pos, args.cols, args.rows,
+                                scheme=box["scheme"],
+                                color=not args.no_color, camera=box["cam"])
+
+    def pan(dx, dy):
+        def h(ctx):
+            cam = box["cam"]
+            if isinstance(cam, rp.Camera2D):
+                cam.tx += dx * args.cols * 0.15 / cam.zoom
+                cam.ty += dy * args.rows * 0.3 / cam.zoom
+        return h
+
+    def zoom(f):
+        def h(ctx):
+            cam = box["cam"]
+            if isinstance(cam, rp.Camera2D):
+                cam.zoom = min(max(cam.zoom * f, 1e-9), 1e9)
+            elif isinstance(cam, rp.OrbitCamera):
+                cam.distance = max(cam.distance / f, 1e-6)
+        return h
+
+    def orbit(dyaw, dpitch):
+        def h(ctx):
+            cam = box["cam"]
+            if isinstance(cam, rp.OrbitCamera):
+                cam.yaw += dyaw
+                cam.pitch = min(max(cam.pitch + dpitch, -1.55), 1.55)
+        return h
+
+    def stride_mul(f):
+        def h(ctx):
+            ctx.stride = min(max(int(ctx.stride * f), 1), 64)
+        return h
+
+    keys = {
+        "p": ("pause", lambda ctx: setattr(ctx, "paused", not ctx.paused)),
+        " ": ("step", lambda ctx: setattr(ctx, "step_once", True)),
+        "r": ("refit", lambda ctx: box.update(cam=None)),
+        "b": ("reset", reset),
+        "c": ("colors", lambda ctx: box.update(
+            scheme=schemes[(schemes.index(box["scheme"]) + 1)
+                           % len(schemes)])),
+        "z": ("zoom+", zoom(1.12)),
+        "x": ("zoom-", zoom(1 / 1.12)),
+        "+": ("stride*2", stride_mul(2)),
+        "-": ("stride/2", stride_mul(0.5)),
+    }
+    if three_d:
+        keys.update({
+            "a": ("yaw-", orbit(-0.1, 0)),
+            "d": ("yaw+", orbit(0.1, 0)),
+            "w": ("pitch+", orbit(0, 0.1)),
+            "s": ("pitch-", orbit(0, -0.1)),
+        })
+    else:
+        keys.update({
+            "h": ("pan-l", pan(-1, 0)),
+            "l": ("pan-r", pan(1, 0)),
+            "j": ("pan-d", pan(0, -1)),
+            "k": ("pan-u", pan(0, 1)),
+        })
+
+    def status(ctx):
+        cam = box["cam"]
+        view = (f"yaw={cam.yaw:.2f} pitch={cam.pitch:.2f} "
+                f"dist={cam.distance:.0f}" if isinstance(cam, rp.OrbitCamera)
+                else f"zoom={cam.zoom:.3g}" if cam else "")
+        return (f"{cfg.n_bodies} nodes {n_edges} edges "
+                f"stride={ctx.stride} [{box['scheme']}] {view}")
+
+    try:
+        interactive_loop(
+            state0, make_runner, frame, keys,
+            stride=max(args.stride, 1), max_steps=args.steps or None,
+            status_fn=status)
+    finally:
+        if args.native:
+            eng.__exit__(None, None, None)
+
+
 def cmd_nbody(args):
     import time as _time
 
@@ -774,6 +940,9 @@ def cmd_nbody(args):
     cfg = ng.GraphLayoutConfig(max_number=args.max_number, dims=args.dims,
                                grid_res=args.grid_res, engine=args.engine,
                                dtype=args.dtype)
+    if args.render and (args.interactive or args.stride):
+        _nbody_live(args, cfg)
+        return
     if args.native:
         # pure host path: never touches jax / the device
         from .solvers import nbody_native as nn
@@ -802,11 +971,16 @@ def cmd_nbody(args):
           f"{n_edges} edges -> {args.steps / wall:.1f} steps/s")
     print(f"layout extent: {np.abs(pos).max():.1f}")
     if args.render:
-        from .render.points import render_points
+        from .render.points import render_points, render_points_3d
 
-        print(render_points(pos, W=args.cols, H=args.rows,
-                            scheme=args.scheme,
-                            color=not args.no_color))
+        if cfg.dims == 3:
+            print(render_points_3d(pos, W=args.cols, H=args.rows,
+                                   scheme=args.scheme,
+                                   color=not args.no_color))
+        else:
+            print(render_points(pos, W=args.cols, H=args.rows,
+                                scheme=args.scheme,
+                                color=not args.no_color))
 
 
 def cmd_regression(args):
@@ -825,8 +999,10 @@ def build_parser():
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("gray-scott", help="reaction-diffusion (tau_gray_scott)")
-    p.add_argument("--nx", type=int, default=128)
-    p.add_argument("--ny", type=int, default=128)
+    p.add_argument("--nx", type=int, default=0,
+                   help="0 = terminal width when rendering, else 128")
+    p.add_argument("--ny", type=int, default=0,
+                   help="0 = terminal height when rendering, else 128")
     p.add_argument("--dx", type=float, default=1.0)
     p.add_argument("--dt", type=float, default=1.0)
     p.add_argument("--Du", type=float, default=0.2)

@@ -27,7 +27,7 @@ __all__ = ["Context", "RawStdin", "interactive_loop"]
 class Context:
     """Mutable loop state handed to key handlers."""
 
-    def __init__(self, state):
+    def __init__(self, state, stride: int = 1):
         self.state = state
         self.paused = False
         self.step_once = False
@@ -35,6 +35,9 @@ class Context:
         self.needs_rebuild = False
         self.frames = 0
         self.steps_done = 0
+        # steps per rendered frame; handlers may halve/double it live
+        # (the reference's +/- publish-stride keys, number_fluid2d.c:814-820)
+        self.stride = stride
 
     def invalidate(self):
         """Request a runner rebuild (after a config nudge)."""
@@ -101,7 +104,7 @@ def interactive_loop(state, make_runner, frame_fn, keys, stride: int = 1,
     out          writable (default sys.stdout)
     """
     out = out or sys.stdout
-    ctx = Context(state)
+    ctx = Context(state, stride=stride)
     runner = make_runner()
     help_line = " ".join(
         ["[q]uit"] + [f"[{k if k != ' ' else 'spc'}]{label}"
@@ -131,8 +134,8 @@ def interactive_loop(state, make_runner, frame_fn, keys, stride: int = 1,
 
             advanced = False
             if not ctx.paused or ctx.step_once:
-                ctx.state = runner(ctx.state, stride)
-                ctx.steps_done += stride
+                ctx.state = runner(ctx.state, ctx.stride)
+                ctx.steps_done += ctx.stride
                 ctx.step_once = False
                 advanced = True
 

@@ -4,17 +4,24 @@ Behavioral spec: number_fluid2d.c — the 16-color palette (kPalette16
 :163-180), the five color schemes (point_color :692-724: mint, index
 bands, log buckets, radius bands, xy xor), auto-fit camera
 (camera_fit :668-689: center the bbox, zoom 0.88*fit), later-drawn
-points overwriting earlier ones (draw_points_fast_xy :727-767), and the
-orange root marker.  The raylib pixel loop becomes a half-block ANSI
-truecolor raster: each character cell holds two vertically stacked
-subpixels (fg = top, bg = bottom).
+points overwriting earlier ones (draw_points_fast_xy :727-767), the
+pan/zoom camera of the live loop (:805-888), and the orange root
+marker; for dims=3, the orbit camera + cached perspective projection of
+number_fluid3d.c (orbit_to_camera/fit_orbit :723-761,
+projector_project :768-798).  The raylib pixel loop becomes a
+half-block ANSI truecolor raster: each character cell holds two
+vertically stacked subpixels (fg = top, bg = bottom).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 import numpy as np
 
-__all__ = ["PALETTE16", "SCHEMES", "color_index", "render_points"]
+__all__ = ["PALETTE16", "SCHEMES", "color_index", "render_points",
+           "Camera2D", "camera_fit", "OrbitCamera", "fit_orbit",
+           "project_3d", "render_points_3d"]
 
 # kPalette16 (number_fluid2d.c:163-180), alpha dropped
 PALETTE16 = np.array([
@@ -30,9 +37,10 @@ _ROOT = np.array((236, 178, 123), np.uint8)
 SCHEMES = ("mint", "index", "log", "radius", "xor")
 
 
-def color_index(i, x, y, scheme: str):
-    """Per-body palette index (point_color, number_fluid2d.c:692-724);
-    'mint' returns -1 (fixed color)."""
+def color_index(i, x, y, scheme: str, z=None):
+    """Per-body palette index (point_color, number_fluid2d.c:692-724;
+    3-D variants point_color_3d, number_fluid3d.c:806-831); 'mint'
+    returns -1 (fixed color)."""
     i = np.asarray(i)
     if scheme == "mint":
         return np.full(i.shape, -1, np.int32)
@@ -42,38 +50,101 @@ def color_index(i, x, y, scheme: str):
         return (np.floor(np.log2(np.maximum(i + 1, 1))).astype(np.int32)
                 & 15)
     if scheme == "radius":
-        d2 = x * x + y * y
+        d2 = x * x + y * y + (0 if z is None else z * z)
         return ((d2 * 0.00006).astype(np.uint32) & 15).astype(np.int32)
     if scheme == "xor":
         ax = np.abs(x * 0.035).astype(np.int32).astype(np.uint32)
         ay = np.abs(y * 0.035).astype(np.int32).astype(np.uint32)
-        return ((ax ^ ay) & 15).astype(np.int32)
+        az = (np.zeros_like(ax) if z is None
+              else np.abs(z * 0.035).astype(np.int32).astype(np.uint32))
+        return ((ax ^ ay ^ az) & 15).astype(np.int32)
     raise ValueError(f"unknown color scheme {scheme!r}; one of {SCHEMES}")
 
 
-def render_points(pos, W: int, H: int, scheme: str = "mint",
-                  color: bool = True) -> str:
-    """Rasterize a (n, 2+) point cloud to a W x H character frame with 2x
-    vertical subpixel resolution.  Body 0 (the root) gets the reference's
-    orange marker; among overlapping bodies the highest index wins (the
-    reference draws in index order, later pixels overwriting)."""
-    pos = np.asarray(pos)[:, :2]
-    n = pos.shape[0]
-    x, y = pos[:, 0].astype(np.float64), pos[:, 1].astype(np.float64)
+@dataclass
+class Camera2D:
+    """Pan/zoom camera of the 2-D live view (number_fluid2d.c:805-888):
+    world point (tx, ty) maps to the screen center; zoom in subpixels
+    per world unit."""
+    tx: float = 0.0
+    ty: float = 0.0
+    zoom: float = 1.0
 
-    # camera_fit: bbox center, zoom 0.88 * fit (number_fluid2d.c:668-689)
+
+def camera_fit(pos, W: int, H: int) -> Camera2D:
+    """bbox center, zoom 0.88 * fit (camera_fit, number_fluid2d.c:668-689)."""
+    pos = np.asarray(pos)[:, :2]
     lo = pos.min(0)
     hi = pos.max(0)
     bw = max(hi[0] - lo[0], 1e-6)
     bh = max(hi[1] - lo[1], 1e-6)
+    zoom = 0.88 * min(W / bw, 2 * H / bh)
+    return Camera2D(tx=0.5 * (lo[0] + hi[0]), ty=0.5 * (lo[1] + hi[1]),
+                    zoom=zoom)
+
+
+@dataclass
+class OrbitCamera:
+    """Orbit camera of the 3-D viewer (OrbitCamera + orbit_to_camera,
+    number_fluid3d.c:716-737): position = target + distance *
+    (cos p sin y, sin p, cos p cos y), up = +Y, perspective fov."""
+    target: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    yaw: float = 0.6
+    pitch: float = 0.35
+    distance: float = 100.0
+    fov_deg: float = 60.0
+
+
+def fit_orbit(pos) -> OrbitCamera:
+    """bbox-diagonal framing (fit_orbit, number_fluid3d.c:739-761)."""
+    pos = np.asarray(pos)[:, :3]
+    lo = pos.min(0)
+    hi = pos.max(0)
+    diag = max(float(np.linalg.norm(hi - lo)), 1.0)
+    fov = np.deg2rad(60.0)
+    return OrbitCamera(target=0.5 * (lo + hi), yaw=0.6, pitch=0.35,
+                       distance=0.65 * diag / np.tan(0.5 * fov),
+                       fov_deg=60.0)
+
+
+def project_3d(pos, cam: OrbitCamera, W: int, H: int):
+    """Perspective view-projection to subpixel coords, y-up
+    (projector_make/projector_project, number_fluid3d.c:768-798).
+    Returns (sx, sy, visible); a terminal half-block subpixel is treated
+    as square (aspect = W / 2H)."""
+    pos = np.asarray(pos, np.float64)[:, :3]
+    cp, sp = np.cos(cam.pitch), np.sin(cam.pitch)
+    cy, sy_ = np.cos(cam.yaw), np.sin(cam.yaw)
+    eye = np.asarray(cam.target, np.float64) + cam.distance * np.array(
+        [cp * sy_, sp, cp * cy])
+    fwd = np.asarray(cam.target, np.float64) - eye
+    fwd /= max(np.linalg.norm(fwd), 1e-12)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up)
+    right /= max(np.linalg.norm(right), 1e-12)
+    up2 = np.cross(right, fwd)
+
+    rel = pos - eye
+    xv = rel @ right
+    yv = rel @ up2
+    zv = rel @ fwd                      # looking down +fwd
+    visible = zv > 1e-3                 # near-plane cull (:786)
+
     SH = 2 * H
-    zoom = 0.88 * min(W / bw, SH / bh)
-    tx, ty = 0.5 * (lo[0] + hi[0]), 0.5 * (lo[1] + hi[1])
+    f = 1.0 / np.tan(0.5 * np.deg2rad(cam.fov_deg))
+    aspect = W / max(SH, 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ndcx = (f / aspect) * xv / zv
+        ndcy = f * yv / zv
+    sx = ((ndcx + 1.0) * 0.5 * W).astype(np.int64)
+    sy = ((ndcy + 1.0) * 0.5 * SH).astype(np.int64)
+    return sx, sy, visible
 
-    sx = ((x - tx) * zoom + W * 0.5).astype(np.int64)
-    sy = ((y - ty) * zoom + SH * 0.5).astype(np.int64)
-    ok = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < SH)
 
+def _raster_frame(n, sx, sy, ok, x, y, z, W, H, scheme, color):
+    """Shared winner-takes-highest-index rasterizer + ANSI assembly."""
+    SH = 2 * H
+    ok = ok & (sx >= 0) & (sx < W) & (sy >= 0) & (sy < SH)
     winner = np.full(SH * W, -1, np.int64)
     flat = (sy * W + sx)[ok]
     np.maximum.at(winner, flat, np.arange(n)[ok])
@@ -81,7 +152,8 @@ def render_points(pos, W: int, H: int, scheme: str = "mint",
     idx = winner.reshape(SH, W)
     occupied = idx >= 0
     wi = np.maximum(idx, 0)
-    ci = color_index(wi, x[wi], y[wi], scheme)
+    ci = color_index(wi, x[wi], y[wi], scheme,
+                     z=None if z is None else z[wi])
     rgb = np.where(
         (ci < 0)[..., None], _MINT[None, None, :], PALETTE16[ci & 15])
     rgb = np.where((idx == 0)[..., None], _ROOT[None, None, :], rgb)
@@ -113,3 +185,35 @@ def render_points(pos, W: int, H: int, scheme: str = "mint",
                 parts.append(f"\x1b[0m\x1b[38;2;{br};{bg_};{bb}m▄")
         lines.append("".join(parts) + "\x1b[0m")
     return "\n".join(lines)
+
+
+def render_points(pos, W: int, H: int, scheme: str = "mint",
+                  color: bool = True, camera: Camera2D | None = None) -> str:
+    """Rasterize a (n, 2+) point cloud to a W x H character frame with 2x
+    vertical subpixel resolution.  `camera` pans/zooms (the live loop's
+    raylib Camera2D analog, number_fluid2d.c:805-888); None auto-fits.
+    Body 0 (the root) gets the reference's orange marker; among
+    overlapping bodies the highest index wins (the reference draws in
+    index order, later pixels overwriting)."""
+    pos = np.asarray(pos)[:, :2]
+    n = pos.shape[0]
+    x, y = pos[:, 0].astype(np.float64), pos[:, 1].astype(np.float64)
+    cam = camera or camera_fit(pos, W, H)
+    SH = 2 * H
+    sx = ((x - cam.tx) * cam.zoom + W * 0.5).astype(np.int64)
+    sy = ((y - cam.ty) * cam.zoom + SH * 0.5).astype(np.int64)
+    return _raster_frame(n, sx, sy, np.ones(n, bool), x, y, None,
+                         W, H, scheme, color)
+
+
+def render_points_3d(pos, W: int, H: int, scheme: str = "mint",
+                     color: bool = True,
+                     camera: OrbitCamera | None = None) -> str:
+    """Rasterize a (n, 3) point cloud through the orbit camera's
+    perspective projection (draw_points_3d, number_fluid3d.c:833-861)."""
+    pos = np.asarray(pos)[:, :3]
+    n = pos.shape[0]
+    cam = camera or fit_orbit(pos)
+    sx, sy, visible = project_3d(pos, cam, W, H)
+    x, y, z = (pos[:, k].astype(np.float64) for k in range(3))
+    return _raster_frame(n, sx, sy, visible, x, y, z, W, H, scheme, color)

@@ -95,3 +95,62 @@ def test_cli_interactive_smoke(monkeypatch, capsys):
           "--stride", "1", "--interactive", "--impl", "xla"])
     out = capsys.readouterr().out
     assert "[m]view" in out
+
+
+def test_stride_nudge_keys():
+    """ctx.stride halving/doubling (the reference's +/- publish-stride
+    keys, number_fluid2d.c:814-820)."""
+    make_runner, _ = _counter_runner()
+    keys = {
+        "+": ("s*2", lambda ctx: setattr(ctx, "stride",
+                                         min(ctx.stride * 2, 64))),
+        "-": ("s/2", lambda ctx: setattr(ctx, "stride",
+                                         max(ctx.stride // 2, 1))),
+    }
+    # stride 2 -> frame(+2) -> '+': stride 4 -> frame(+4) -> quit
+    final = interactive_loop(
+        0, make_runner, str, keys, stride=2, max_steps=100,
+        input_fn=_Keys(["", "+", "q"]), out=io.StringIO(), fps_cap=0)
+    assert final == 6
+
+
+def test_cli_nbody_live_smoke(monkeypatch, capsys):
+    """nbody --render --stride N animates live in 2-D and 3-D (the
+    reference's continuous draw loops, number_fluid2d.c:805-888 and
+    number_fluid3d.c:909-958)."""
+    from fluidsims_tpu.cli import main
+
+    main(["nbody", "--max-number", "512", "--steps", "4", "--stride", "2",
+          "--render", "--cols", "40", "--rows", "12"])
+    out = capsys.readouterr().out
+    assert "step 4" in out
+    assert "[r]refit" in out and "[h]pan-l" in out and "zoom=" in out
+
+    main(["nbody", "--max-number", "512", "--dims", "3", "--steps", "4",
+          "--stride", "2", "--render", "--cols", "40", "--rows", "12"])
+    out = capsys.readouterr().out
+    assert "[a]yaw-" in out and "pitch=" in out
+
+
+def test_nbody_live_camera_keys():
+    """Scripted pan/zoom/orbit/scheme keys mutate the live camera."""
+    import numpy as np
+
+    from fluidsims_tpu.render import points as rp
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(256, 3)) * 50
+
+    cam = rp.camera_fit(pos[:, :2], 40, 12)
+    z0 = cam.zoom
+    cam.zoom *= 1.12
+    f1 = rp.render_points(pos[:, :2], 40, 12, camera=cam)
+    cam.zoom = z0
+    f2 = rp.render_points(pos[:, :2], 40, 12, camera=cam)
+    assert f1 != f2
+
+    oc = rp.fit_orbit(pos)
+    fa = rp.render_points_3d(pos, 40, 12, camera=oc)
+    oc.yaw += 0.5
+    fb = rp.render_points_3d(pos, 40, 12, camera=oc)
+    assert fa != fb
