@@ -34,8 +34,9 @@ def _common(p, steps_default=200):
     p.add_argument("--load-state", default=None, metavar="FILE.npz",
                    help="resume from a saved checkpoint")
     p.add_argument("--interactive", action="store_true",
-                   help="key-driven live mode (pause/reset/view/nudges); "
-                        "supported by hypersonic2d, sph and lbm")
+                   help="key-driven live mode (pause/step/reset plus "
+                        "per-solver view cycles and parameter nudges); "
+                        "supported by every solver subcommand")
     p.add_argument("--png", default=None, metavar="FILE.png",
                    help="export the final frame as a PNG (with --stride: "
                         "numbered FILE_0000.png per rendered frame)")
@@ -179,6 +180,26 @@ def _norm01(a):
     return np.nan_to_num((a - lo) / max(hi - lo, 1e-30))
 
 
+def _basic_interactive(args, s0, make_runner, frame, reset_fn,
+                       extra_keys=None, status_fn=None):
+    """Wire the common pause / step-once / reset keys plus solver
+    extras into core.interactive.interactive_loop (the reference's L4
+    frame-loop controls; the q-only demos like tau_burgers.cu:752 get
+    pause/reset on top)."""
+    from .core.interactive import interactive_loop
+
+    keys = {
+        "p": ("pause", lambda ctx: setattr(ctx, "paused", not ctx.paused)),
+        " ": ("step", lambda ctx: setattr(ctx, "step_once", True)),
+        "r": ("reset", lambda ctx: setattr(ctx, "state", reset_fn())),
+    }
+    if extra_keys:
+        keys.update(extra_keys)
+    return interactive_loop(
+        s0, make_runner, frame, keys, stride=max(args.stride, 1),
+        max_steps=args.steps or None, status_fn=status_fn)
+
+
 def _terminal_auto_size(nx, ny, render, halfblocks=False, fallback=128):
     """Size the grid to the terminal when --nx/--ny are 0, like the
     reference (tau_gray_scott.cu:283-296): width = columns, height =
@@ -219,6 +240,32 @@ def cmd_gray_scott(args):
 
     from .render.colormap import jet
 
+    if args.interactive:
+        # live F/k nudges as traced scalars (no recompile) — explore the
+        # Gray-Scott pattern space from the keyboard
+        box = {"feed": cfg.feed, "kill": cfg.kill}
+        irun = jax.jit(lambda st, n, F, k: gs.run(cfg, st, n, feed=F,
+                                                  kill=k), static_argnums=1)
+
+        def nudge(key, d):
+            def h(ctx):
+                box[key] = max(box[key] + d, 0.0)
+            return h
+
+        _basic_interactive(
+            args, s, lambda: (lambda st, n: irun(st, n, box["feed"],
+                                                 box["kill"])),
+            frame, lambda: gs.init(cfg),
+            extra_keys={
+                "F": ("F+", nudge("feed", 0.001)),
+                "f": ("F-", nudge("feed", -0.001)),
+                "K": ("k+", nudge("kill", 0.0005)),
+                "k": ("k-", nudge("kill", -0.0005)),
+            },
+            status_fn=lambda ctx: (f"F={box['feed']:.4f} "
+                                   f"k={box['kill']:.4f}"))
+        return
+
     out = _run_headless(run, s, args.steps, "gray-scott",
                         cells=cfg.nx * cfg.ny, args=args, frame_fn=frame,
                         rgb_fn=lambda st: jet(_norm01(st.v)))
@@ -256,6 +303,31 @@ def cmd_burgers(args):
         u, v = bg.velocities(cfg, st)
         return jet(_norm01(np.hypot(np.asarray(u), np.asarray(v))))
 
+    if args.interactive:
+        import numpy as np
+
+        from .render.terminal import render_ramp
+
+        box = {"view": "speed"}
+
+        def iframe(st):
+            u, v = bg.velocities(cfg, st)
+            u, v = np.asarray(u), np.asarray(v)
+            f = {"speed": np.hypot(u, v), "u": u, "v": v}[box["view"]]
+            return render_ramp(f, dither=True)
+
+        def status(ctx):
+            ch = (f" colehopf_relL2={bg.cole_hopf_rel_l2(cfg, ctx.state):.2e}"
+                  if cfg.colehopf else "")
+            return (f"t={float(ctx.state.t):.4f} view={box['view']}{ch}")
+
+        _basic_interactive(
+            args, s, lambda: run, iframe, lambda: bg.init(cfg),
+            extra_keys={"m": ("view", lambda ctx: box.update(
+                view={"speed": "u", "u": "v", "v": "speed"}[box["view"]]))},
+            status_fn=status)
+        return
+
     out = _run_headless(run, s, args.steps, "burgers", cells=cfg.nx * cfg.ny,
                         args=args, frame_fn=frame, rgb_fn=rgb)
     if cfg.colehopf:
@@ -283,6 +355,24 @@ def cmd_shallow_water(args):
                            normalize=False)
 
     from .render.colormap import jet
+
+    if args.interactive:
+        box = {"view": "sigma"}
+
+        def iframe(st):
+            if box["view"] == "sigma":
+                f = np.asarray(st.sigma)
+            else:
+                f = np.hypot(np.asarray(st.u), np.asarray(st.v))
+            return render_ramp(autocontrast(f), normalize=False)
+
+        _basic_interactive(
+            args, s, lambda: run, iframe, lambda: sw.init(cfg),
+            extra_keys={"m": ("view", lambda ctx: box.update(
+                view="speed" if box["view"] == "sigma" else "sigma"))},
+            status_fn=lambda ctx: (f"t={float(ctx.state.t):.4f} "
+                                   f"view={box['view']}"))
+        return
 
     out = _run_headless(
         run, s, args.steps, "shallow-water", cells=cfg.nx * cfg.ny,
@@ -486,9 +576,59 @@ def cmd_hypersonic3d(args):
     if run is None:
         run = jax.jit(lambda st, n: h3.run(cfg, st, n), static_argnums=1)
 
+    box = {"view": args.view, "log": False, "zslice": cfg.nz // 2,
+           "a_gain": 1.0}
+
     def frame(st):
-        vol = np.asarray(h3.vis_field(cfg, st, args.view))
-        return render_ramp(vol[cfg.nz // 2])
+        vol = np.asarray(h3.vis_field(cfg, st, box["view"]))
+        if box["log"]:
+            vol = np.log1p(np.abs(vol))
+        return render_ramp(vol[box["zslice"]])
+
+    if args.interactive:
+        # reference key set (tau_hypersonic_3d_cuda.cu:1645-1672): SPACE
+        # pause, M view cycle, L log scale, R reset, -/= inflow gain
+        # nudge (a runtime scan argument — no recompile), [/] z-slice
+        from .core.interactive import interactive_loop
+
+        gain_run = jax.jit(
+            lambda st, n, g: h3.run(cfg, st, n, gain_mul=g),
+            static_argnums=1)
+
+        def make_runner():
+            return lambda st, n: gain_run(st, n, box["a_gain"])
+
+        def cycle_view(ctx):
+            modes = h3.VIS_MODES
+            box["view"] = modes[(modes.index(box["view"]) + 1) % len(modes)]
+
+        def gain(f, lo, hi):
+            def h(ctx):
+                box["a_gain"] = min(max(box["a_gain"] * f, lo), hi)
+            return h
+
+        keys = {
+            "p": ("pause", lambda ctx: setattr(ctx, "paused",
+                                               not ctx.paused)),
+            " ": ("step", lambda ctx: setattr(ctx, "step_once", True)),
+            "m": ("view", cycle_view),
+            "l": ("log", lambda ctx: box.update(log=not box["log"])),
+            "r": ("reset", lambda ctx: setattr(ctx, "state", h3.init(cfg))),
+            "-": ("gain-", gain(0.85, 0.05, 2.0)),
+            "=": ("gain+", gain(1.18, 0.05, 2.0)),
+            "[": ("slice-", lambda ctx: box.update(
+                zslice=(box["zslice"] - 1) % cfg.nz)),
+            "]": ("slice+", lambda ctx: box.update(
+                zslice=(box["zslice"] + 1) % cfg.nz)),
+        }
+        interactive_loop(
+            s, make_runner, frame, keys, stride=max(args.stride, 1),
+            max_steps=args.steps or None,
+            status_fn=lambda ctx: (
+                f"t={float(ctx.state.t):.4f} view={box['view']}"
+                f"{' log' if box['log'] else ''} z={box['zslice']} "
+                f"a_gain={box['a_gain']:.2f}"))
+        return
 
     out = _run_headless(run, s, args.steps, "hypersonic3d",
                         cells=cfg.nx * cfg.ny * cfg.nz, args=args,
@@ -527,6 +667,46 @@ def cmd_mhd(args):
 
     from .render.colormap import mhd_cmap
 
+    if args.interactive:
+        # reference key set (tau_mhd.c:190-193): SPACE pause, R reset,
+        # M view cycle, C problem cycle (re-inits)
+        view_names = ["rho", "p", "|B|", "|divB|"]
+        problems = ["briowu", "orszag-tang"]
+        box = {"view": int(args.view), "cfg": cfg}
+
+        def iframe(st):
+            return render_ramp(np.asarray(
+                mhd.view_field(box["cfg"], st, box["view"])))
+
+        def cycle_problem(ctx):
+            prob = problems[(problems.index(box["cfg"].problem) + 1)
+                            % len(problems)]
+            from dataclasses import replace as _rep
+
+            box["cfg"] = _rep(box["cfg"], problem=prob)
+            ctx.state = mhd.init(box["cfg"])
+            ctx.invalidate()
+
+        def make_runner():
+            import jax as _jax
+
+            c = box["cfg"]
+            return _jax.jit(lambda st, n: mhd.run(c, st, n),
+                            static_argnums=1)
+
+        _basic_interactive(
+            args, s, make_runner, iframe,
+            lambda: mhd.init(box["cfg"]),
+            extra_keys={
+                "m": ("view", lambda ctx: box.update(
+                    view=(box["view"] + 1) % 4)),
+                "c": ("problem", cycle_problem),
+            },
+            status_fn=lambda ctx: (f"t={float(ctx.state.t):.4f} "
+                                   f"view={view_names[box['view']]} "
+                                   f"problem={box['cfg'].problem}"))
+        return
+
     out = _run_headless(
         run, s, args.steps, "mhd", cells=cfg.nx * cfg.ny, args=args,
         frame_fn=frame,
@@ -554,6 +734,12 @@ def cmd_stam2d(args):
         return render_ramp(np.clip(np.asarray(st.d), 0, 1), normalize=False)
 
     from .render.colormap import jet
+
+    if args.interactive:
+        _basic_interactive(
+            args, s, lambda: run, frame, lambda: stam2d.init(cfg),
+            status_fn=lambda ctx: f"engine={stam2d.resolve_engine(cfg)}")
+        return
 
     out = _run_headless(run, s, args.steps, "stam2d", cells=cfg.n * cfg.n,
                         args=args, frame_fn=frame,
@@ -593,6 +779,14 @@ def cmd_stam3d(args):
         t = img / max(img.max(), 1)
         idx = np.clip((t * 4 + 0.5).astype(int), 0, 4)
         return "\n".join("".join(RAMP_BLOCKS[k] for k in row) for row in idx)
+
+    if args.interactive:
+        _basic_interactive(
+            args, s, lambda: run, frame, lambda: stam3d.init(cfg),
+            status_fn=lambda ctx: (
+                f"engine={stam3d.resolve_engine(cfg)} "
+                f"advect_k={cfg.advect_k}"))
+        return
 
     out = _run_headless(run, s, args.steps, "stam3d", cells=cfg.n**3,
                         args=args, frame_fn=frame)
@@ -708,6 +902,38 @@ def cmd_flip(args):
     def frame(st):
         return render_ramp(np.asarray(st.density)[::-1].astype(float))
 
+    if args.interactive:
+        # flip/apic blend nudges re-derive the jitted runner (cfg-baked
+        # scalars), like the reference re-deriving on CLI options
+        from dataclasses import replace as _rep
+
+        box = {"cfg": cfg}
+
+        def make_runner():
+            c = box["cfg"]
+            return jax.jit(lambda st, n: fa.run(c, st, n), static_argnums=1)
+
+        def blend(field, d):
+            def h(ctx):
+                c = box["cfg"]
+                box["cfg"] = _rep(c, **{field: min(max(
+                    getattr(c, field) + d, 0.0), 1.0)})
+                ctx.invalidate()
+            return h
+
+        _basic_interactive(
+            args, s, make_runner, frame,
+            lambda: fa.init(box["cfg"]),
+            extra_keys={
+                "f": ("flip-", blend("flip", -0.05)),
+                "F": ("flip+", blend("flip", 0.05)),
+                "a": ("apic-", blend("apic", -0.05)),
+                "A": ("apic+", blend("apic", 0.05)),
+            },
+            status_fn=lambda ctx: (f"flip={box['cfg'].flip:.2f} "
+                                   f"apic={box['cfg'].apic:.2f}"))
+        return
+
     out = _run_headless(run, s, args.steps, "flip-apic", args=args,
                         frame_fn=frame)
     dens = np.asarray(out.density)
@@ -744,6 +970,33 @@ def cmd_mpm(args):
                          np.where(top > 0, "▀",
                                   np.where(bot > 0, "▄", " ")))
         return "\n".join("".join(r) for r in chars)
+
+    if args.interactive:
+        # material cycling + reset (the tau_mpm.cu material set as live
+        # keys; cycling re-inits like the reference's per-material runs)
+        from dataclasses import replace as _rep
+
+        mats = ["mud", "snow", "sand"]
+        box = {"cfg": cfg}
+
+        def make_runner():
+            c = box["cfg"]
+            return jax.jit(lambda st, n: mpm.run(c, st, n),
+                           static_argnums=1)
+
+        def cycle_mat(ctx):
+            c = box["cfg"]
+            box["cfg"] = _rep(c, material=mats[
+                (mats.index(c.material) + 1) % len(mats)])
+            ctx.state = mpm.init(box["cfg"])
+            ctx.invalidate()
+
+        _basic_interactive(
+            args, s, make_runner, frame,
+            lambda: mpm.init(box["cfg"]),
+            extra_keys={"m": ("material", cycle_mat)},
+            status_fn=lambda ctx: f"material={box['cfg'].material}")
+        return
 
     out = _run_headless(run, s, args.steps, "mpm", args=args, frame_fn=frame)
     _report_overflow(int(mpm.overflow_count(cfg, out)), cfg.n)

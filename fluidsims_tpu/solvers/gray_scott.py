@@ -95,18 +95,25 @@ def _laplacian_periodic(f, inv_dx2):
     ) * inv_dx2
 
 
-def step(cfg: GrayScottConfig, s: GrayScottState) -> GrayScottState:
-    """One forward-Euler reaction-diffusion update (tau_gray_scott.cu:141-171)."""
+def step(cfg: GrayScottConfig, s: GrayScottState,
+         feed=None, kill=None) -> GrayScottState:
+    """One forward-Euler reaction-diffusion update (tau_gray_scott.cu:141-171).
+    `feed`/`kill` override cfg and may be traced scalars, so interactive
+    F/k nudges re-run the compiled step instead of recompiling."""
+    feed = cfg.feed if feed is None else feed
+    kill = cfg.kill if kill is None else kill
     inv_dx2 = 1.0 / (cfg.dx * cfg.dx)
     lap_u = _laplacian_periodic(s.u, inv_dx2)
     lap_v = _laplacian_periodic(s.v, inv_dx2)
     uvv = s.u * s.v * s.v
-    du = cfg.Du * lap_u - uvv + cfg.feed * (1.0 - s.u)
-    dv = cfg.Dv * lap_v + uvv - (cfg.feed + cfg.kill) * s.v
+    du = cfg.Du * lap_u - uvv + feed * (1.0 - s.u)
+    dv = cfg.Dv * lap_v + uvv - (feed + kill) * s.v
     return GrayScottState(u=s.u + cfg.dt * du, v=s.v + cfg.dt * dv)
 
 
-def run(cfg: GrayScottConfig, s: GrayScottState, n_steps: int) -> GrayScottState:
+def run(cfg: GrayScottConfig, s: GrayScottState, n_steps: int,
+        feed=None, kill=None) -> GrayScottState:
     from ..core.stepper import scan_steps
 
-    return scan_steps(lambda st: step(cfg, st), s, n_steps)
+    return scan_steps(lambda st: step(cfg, st, feed=feed, kill=kill), s,
+                      n_steps)

@@ -724,13 +724,16 @@ def step_core_padded(cfg: Hypersonic3DConfig, qp: PrimT, solid_pad,
 
 def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
          solid_pad=None, wavespeed_reduce=None,
-         core=None) -> Hypersonic3DState:
+         core=None, gain_mul=None) -> Hypersonic3DState:
     """One fused step. `solid_pad` (halo-3 extended solid mask) and
     `wavespeed_reduce` (cross-device lax.pmax) are hooks for the sharded
     multi-chip path (parallel/hypersonic3d_sharded.py); `core` overrides
     the cell-update engine (the fused Pallas kernel,
     kernels/hypersonic3d_pallas.py) and must have step_core_padded's
-    (qp, solid_pad, dt, inflow_gain) -> q1 signature."""
+    (qp, solid_pad, dt, inflow_gain) -> q1 signature.  `gain_mul`
+    multiplies the inflow ramp (the interactive a_gain nudge,
+    tau_hypersonic_3d_cuda.cu:1658-1661) and may be a traced scalar so
+    nudging it does not recompile."""
     dtype = s.xi.dtype
     solid = s.solid
     if solid_pad is None:
@@ -740,6 +743,8 @@ def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
     t = s.t * jnp.exp(s.dtau)
     dt = t * s.dtau
     inflow_gain = jnp.clip(t / 0.02, 0.0, 1.0)
+    if gain_mul is not None:
+        inflow_gain = inflow_gain * gain_mul
 
     q = _decode(cfg, s.xi, s.phix, s.phiy, s.phiz, s.lam, s.zet)
     qp = _padded_prims(cfg, q, solid_pad)
@@ -773,10 +778,12 @@ def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
     )
 
 
-def run(cfg: Hypersonic3DConfig, s: Hypersonic3DState, n_steps: int):
+def run(cfg: Hypersonic3DConfig, s: Hypersonic3DState, n_steps: int,
+        gain_mul=None):
     from ..core.stepper import scan_steps
 
-    return scan_steps(lambda st: step(cfg, st), s, n_steps)
+    return scan_steps(lambda st: step(cfg, st, gain_mul=gain_mul), s,
+                      n_steps)
 
 
 # ------------------------------ view modes ---------------------------------

@@ -154,3 +154,26 @@ def test_nbody_live_camera_keys():
     oc.yaw += 0.5
     fb = rp.render_points_3d(pos, 40, 12, camera=oc)
     assert fa != fb
+
+
+def test_cli_interactive_everywhere_smoke(capsys):
+    """Round 3: every remaining solver accepts --interactive with the
+    common pause/step/reset keys plus its reference extras
+    (tau_hypersonic_3d_cuda.cu:1645-1672, tau_mhd.c:190-193)."""
+    from fluidsims_tpu.cli import main
+
+    cases = [
+        (["burgers", "--nx", "32", "--ny", "16"], "[m]view"),
+        (["shallow-water", "--nx", "32", "--ny", "16"], "[m]view"),
+        (["gray-scott", "--nx", "32", "--ny", "16"], "[F]F+"),
+        (["mhd", "--nx", "32", "--ny", "17"], "[c]problem"),
+        (["stam2d", "--n", "32"], "[r]reset"),
+        (["hypersonic3d", "--n", "16"], "[=]gain+"),
+        (["mpm", "--n", "256", "--gx", "24", "--gy", "24"], "[m]material"),
+        (["flip", "--particles", "256", "--grid", "24"], "[F]flip+"),
+    ]
+    for argv, marker in cases:
+        main(argv + ["--steps", "2", "--stride", "1", "--interactive"])
+        out = capsys.readouterr().out
+        assert "step 2" in out, argv[0]
+        assert marker in out, argv[0]
