@@ -203,12 +203,21 @@ def _forces_kernel(cfg, offs, hw, K, *refs):
     out[3] = jnp.where(lo_y | hi_y, -e * vy, vy)
 
 
-def grid_geometry(cfg: sph_mod.SPHConfig, interpret: bool = False):
+def grid_geometry(cfg: sph_mod.SPHConfig, interpret: bool = False,
+                  transpose: bool = False):
     """(grid, K, BW, PAD, n_copies): the cell-block geometry shared by the
-    single-chip step and the cell-sharded multi-chip runner."""
+    single-chip step and the cell-sharded multi-chip runners.
+
+    `transpose=True` flips the flat cell order to x-major (cid =
+    gx*Gy + gy): the pair kernels are layout-agnostic (channels stay
+    physical x/y and the distance math is symmetric), and x-major slabs
+    stay load-balanced for settling flows (parallel/sph_spatial.py)."""
     if cfg.use_xsph:
         raise ValueError("pallas SPH engine does not implement XSPH")
     grid = cfg.grid()
+    if transpose:
+        grid = cd.DenseGrid(Gx=grid.Gy, Gy=grid.Gx, cell=grid.cell,
+                            K=grid.K)
     Gx, Gy, K = grid.Gx, grid.Gy, grid.K
     G = Gx * Gy
     if K % 8:
@@ -222,7 +231,7 @@ def grid_geometry(cfg: sph_mod.SPHConfig, interpret: bool = False):
 
 
 def build_pair_calls(cfg: sph_mod.SPHConfig, n_blocks: int,
-                     interpret: bool = False):
+                     interpret: bool = False, transpose: bool = False):
     """The fused density and forces+integrate pallas calls over a window
     of `n_blocks` output blocks with PAD halo columns on each side.
 
@@ -230,7 +239,7 @@ def build_pair_calls(cfg: sph_mod.SPHConfig, n_blocks: int,
     runner passes each device's block range (every output block is
     computed by exactly one program either way, so sharded results are
     bitwise equal to single-chip)."""
-    grid, K, BW, PAD, n_copies = grid_geometry(cfg, interpret)
+    grid, K, BW, PAD, n_copies = grid_geometry(cfg, interpret, transpose)
     Gx = grid.Gx
     hw = PAD                      # center offset inside the halo window
     W = n_blocks * BW
