@@ -39,9 +39,63 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["make_advect_pallas"]
+__all__ = ["make_advect_pallas", "make_lin_solve_pallas"]
 
 _LANE = 128
+
+
+def _shift_sum4(x, n):
+    """Sum of the 4 neighbors with the zero halo ring, on a VMEM value
+    (solvers/stam2d._sum4 on the interior array; the ring is implicit)."""
+    z_row = jnp.zeros((1, n), x.dtype)
+    z_col = jnp.zeros((n, 1), x.dtype)
+    up = jnp.concatenate([x[1:, :], z_row], axis=0)
+    dn = jnp.concatenate([z_row, x[:-1, :]], axis=0)
+    lf = jnp.concatenate([x[:, 1:], z_col], axis=1)
+    rt = jnp.concatenate([z_col, x[:, :-1]], axis=1)
+    return up + dn + lf + rt
+
+
+def _lin_solve_kernel(x_ref, b_ref, ac_ref, out_ref, *, n, iters):
+    """`iters` Jacobi sweeps x <- (b + a*sum4(x))/c entirely in VMEM
+    (k_lin + lin_solve, js_cuda.cu:70-80,143-158).  One kernel serves
+    every solve in the step: a and c arrive as SMEM scalars, so the
+    diffusion and pressure solves share the compiled body."""
+    b = b_ref[:]
+    a = ac_ref[0, 0]
+    c = ac_ref[0, 1]
+
+    def body(_, xk):
+        return (b + a * _shift_sum4(xk, n)) / c
+
+    out_ref[:] = lax.fori_loop(0, iters, body, x_ref[:])
+
+
+def make_lin_solve_pallas(n: int, iters: int, dtype=jnp.float32,
+                          interpret: bool = False):
+    """Build solve(x, b, a, c) -> x' running all `iters` sweeps in one
+    VMEM-resident kernel.  The XLA loop reads+writes the array from HBM
+    every sweep (~2 MB x 40 per solve at 512²); here only the in/out
+    arrays cross HBM."""
+    call = pl.pallas_call(
+        functools.partial(_lin_solve_kernel, n=n, iters=iters),
+        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def solve(x, b, a, c):
+        ac = jnp.asarray([[a, c]], dtype)
+        return call(x.astype(dtype), b.astype(dtype), ac)
+
+    return solve
 
 
 def _colgather(S, c, n):

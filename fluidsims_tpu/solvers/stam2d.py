@@ -178,16 +178,18 @@ def _advect(cfg, q0, uu, vv):
     return s0 * (t0 * q00 + t1 * q01) + s1 * (t0 * q10 + t1 * q11)
 
 
-def _project(cfg, uu, vv, dx_w, dy_w):
+def _project(cfg, uu, vv, dx_w, dy_w, lin_solve=None):
     """Divergence -> 40-iter Jacobi Poisson (from p=0) -> gradient subtract
     (k_div/k_proj + lin_solve, js_cuda.cu:105-124,170-181)."""
+    if lin_solve is None:
+        lin_solve = lambda x, b, a, c: _lin_solve(cfg, x, b, a, c)  # noqa: E731
     pu = jnp.pad(uu, 1)
     pv = jnp.pad(vv, 1)
     div = -0.5 * (
         (pu[1:-1, 2:] - pu[1:-1, :-2]) / dx_w[None, :]
         + (pv[2:, 1:-1] - pv[:-2, 1:-1]) / dy_w[:, None]
     )
-    p = _lin_solve(cfg, jnp.zeros_like(div), div, 1.0, 4.0)
+    p = lin_solve(jnp.zeros_like(div), div, 1.0, 4.0)
     pp = jnp.pad(p, 1)
     uu = uu - 0.5 * dx_w[None, :] * (pp[1:-1, 2:] - pp[1:-1, :-2])
     vv = vv - 0.5 * dy_w[:, None] * (pp[2:, 1:-1] - pp[:-2, 1:-1])
@@ -263,27 +265,36 @@ def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
     if resolve_engine(cfg) == "pallas":
         import jax
 
-        from ..kernels.stam2d_pallas import make_advect_pallas
+        from ..kernels.stam2d_pallas import (make_advect_pallas,
+                                             make_lin_solve_pallas)
 
-        adv = make_advect_pallas(cfg,
-                                 interpret=jax.default_backend() != "tpu")
+        interp = jax.default_backend() != "tpu"
+        adv = make_advect_pallas(cfg, interpret=interp)
         advect = lambda q0, uu, vv: adv(q0, uu, vv)[0]  # noqa: E731
+        solve = make_lin_solve_pallas(cfg.n, cfg.jacobi_iters,
+                                      cfg.jax_dtype, interpret=interp)
+        lin_solve = lambda x, b, a, c: solve(x, b, a, c)  # noqa: E731
     else:
         advect = lambda q0, uu, vv: _advect(cfg, q0, uu, vv)  # noqa: E731
+        lin_solve = lambda x, b, a, c: _lin_solve(cfg, x, b, a, c)  # noqa: E731
+
+    def diffuse(x, x0, coeff):
+        a = cfg.dt * coeff * cfg.n * cfg.n
+        return lin_solve(x, x0, a, 1.0 + 4.0 * a)
 
     d = s.d * cfg.dens_decay
     u, v, d = _add_source(cfg, s.u, s.v, d, s.step_idx)
 
     # vel_step (js_cuda.cu:165-182)
-    u0 = _diffuse(cfg, s.u0, u, cfg.visc)
-    v0 = _diffuse(cfg, s.v0, v, cfg.visc)
-    u0, v0 = _project(cfg, u0, v0, dx_w, dy_w)
+    u0 = diffuse(s.u0, u, cfg.visc)
+    v0 = diffuse(s.v0, v, cfg.visc)
+    u0, v0 = _project(cfg, u0, v0, dx_w, dy_w, lin_solve)
     u = advect(u0, u0, v0)
     v = advect(v0, u0, v0)
-    u, v = _project(cfg, u, v, dx_w, dy_w)
+    u, v = _project(cfg, u, v, dx_w, dy_w, lin_solve)
 
     # dens_step (js_cuda.cu:184-191)
-    d0 = _diffuse(cfg, s.d0, d, cfg.diff)
+    d0 = diffuse(s.d0, d, cfg.diff)
     d = advect(d0, u, v)
 
     return Stam2DState(u=u, v=v, u0=u0, v0=v0, d=d, d0=d0,

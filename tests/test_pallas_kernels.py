@@ -192,3 +192,26 @@ def test_stam2d_resolve_engine_validation():
     with pytest.raises(ValueError):
         st.resolve_engine(st.Stam2DConfig(n=128, engine="pallas",
                                           dtype="float64"))
+
+
+def test_stam2d_lin_solve_pallas_matches_xla():
+    """The whole-solve-in-VMEM Jacobi kernel must reproduce the XLA
+    fori_loop sweeps (same neighbor-sum order, same per-sweep math)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluidsims_tpu.kernels.stam2d_pallas import make_lin_solve_pallas
+    from fluidsims_tpu.solvers import stam2d as st
+
+    cfg = st.Stam2DConfig(n=128)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((128, 128), np.float32))
+    b = jnp.asarray(rng.random((128, 128), np.float32))
+    solve = make_lin_solve_pallas(128, cfg.jacobi_iters, interpret=True)
+    for a, c in ((1.0, 4.0), (0.26, 2.04)):
+        got = np.asarray(jax.jit(
+            lambda x, b, a=a, c=c: solve(x, b, a, c))(x, b))
+        ref = np.asarray(jax.jit(
+            lambda x, b, a=a, c=c: st._lin_solve(cfg, x, b, a, c))(x, b))
+        # fma-contraction order differs per sweep; 40 sweeps accumulate
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
