@@ -49,7 +49,7 @@ class MPMConfig(BaseConfig):
     critical_stretch: float = 7.5e-3
     material: str = "snow"
     seed: int = 2026
-    engine: str = "dense"   # "dense" (cell-dense, fast) or "scatter"
+    engine: str = "auto"   # auto | pallas | dense | scatter
     bin_capacity: int = 0   # 0 = auto (~16x mean occupancy)
     dtype: str = "float32"
 
@@ -57,7 +57,8 @@ class MPMConfig(BaseConfig):
         self._require(self.n > 0, "n must be positive")
         self._require(self.gx >= 8 and self.gy >= 8, "grid too small")
         self._require(self.material in MATERIALS, f"material {self.material}")
-        self._require(self.engine in ("dense", "scatter"), "unknown engine")
+        self._require(self.engine in ("auto", "pallas", "dense", "scatter"),
+                      "unknown engine")
 
     @property
     def capacity(self) -> int:
@@ -424,8 +425,29 @@ def _step_dense(cfg: MPMConfig, s: MPMState,
     )
 
 
+def resolve_engine(cfg: MPMConfig) -> str:
+    """'auto' resolves to the cell-dense XLA engine: the fused Pallas
+    transfer kernels (kernels/mpm_pallas.py, engine='pallas') measured
+    PARITY with it on chip (11.2 vs 10.6-11.6 M psteps/s) — the step is
+    bound by the per-step binning sort + value scatter, which both
+    engines share, not by the transfer arithmetic the kernels move into
+    VMEM.  Kept selectable as the measured proof of that verdict."""
+    if cfg.engine != "auto":
+        return cfg.engine
+    return "dense"
+
+
 def step(cfg: MPMConfig, s: MPMState, grid_reduce=None) -> MPMState:
-    if cfg.engine == "dense":
+    eng = resolve_engine(cfg)
+    if eng == "pallas":
+        import jax
+
+        from ..kernels.mpm_pallas import make_step_pallas
+
+        return make_step_pallas(
+            cfg, interpret=jax.default_backend() != "tpu")(
+                s, grid_reduce=grid_reduce)
+    if eng == "dense":
         return _step_dense(cfg, s, grid_reduce)
     return _step_scatter(cfg, s, grid_reduce)
 

@@ -132,3 +132,35 @@ def test_mpm_matches_loop_oracle_f64(material):
     assert np.abs(np.asarray(s.vel) - orc.vel).max() < 1e-12
     assert np.abs(np.asarray(s.F) - orc.F).max() < 1e-12
     assert np.abs(np.asarray(s.Jp) - orc.Jp).max() < 1e-12
+
+
+def test_flip_pallas_engine_matches_dense():
+    """The fused transfer kernels (kernels/flip_pallas.py) must be
+    bitwise-equal to the cell-dense XLA engine (same math, same order;
+    interpret mode on CPU)."""
+    cfg_d = fa.FlipApicConfig(particles=4096, engine="dense")
+    cfg_p = fa.FlipApicConfig(particles=4096, engine="pallas")
+    a = b = fa.init(cfg_d)
+    for _ in range(3):
+        a = jax.jit(lambda s: fa.step(cfg_p, s))(a)
+        b = jax.jit(lambda s: fa.step(cfg_d, s))(b)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.density),
+                                  np.asarray(b.density))
+
+
+def test_mpm_pallas_engine_matches_dense():
+    """Same contract for the MLS-MPM kernels (kernels/mpm_pallas.py)."""
+    cfg_d = mpm.MPMConfig(n=4096, gx=48, gy=48, engine="dense")
+    cfg_p = mpm.MPMConfig(n=4096, gx=48, gy=48, engine="pallas")
+    a = b = mpm.init(cfg_d)
+    for _ in range(3):
+        a = jax.jit(lambda s: mpm.step(cfg_p, s))(a)
+        b = jax.jit(lambda s: mpm.step(cfg_d, s))(b)
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.F), np.asarray(b.F),
+                               rtol=0, atol=1e-9)
