@@ -178,8 +178,8 @@ def _sweep(jax):
         return "hypersonic3d_64_steps_per_sec", r, "steps/sec"
 
     def stam2d_b():
-        cfg = s2.Stam2DConfig()
-        r = _chunked(jax, lambda s: s2.step(cfg, s), s2.init(cfg), 40, 10)
+        cfg = s2.Stam2DConfig()   # engine auto -> pallas kernels on TPU
+        r = _chunked(jax, lambda s: s2.step(cfg, s), s2.init(cfg), 400, 100)
         return "stam2d_512x512_steps_per_sec", r, "steps/sec"
 
     def stam3d_b():
