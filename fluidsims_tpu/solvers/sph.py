@@ -23,6 +23,20 @@ particle-steps/s at 65k on one v5e chip); 'pallas' fuses the pair passes
 in VMEM (kernels/sph_pallas.py, 11.0M particle-steps/s, same physics to
 f32 summation order).  The per-particle-gather formulation this replaced
 ran 87x slower still and crashed the TPU compiler at 65k.
+
+CAVEAT on the reference defaults (c0=1, gamma_eos=1, gravity=9.81): this
+parameter set is NOT weakly compressible.  Tait with gamma=1 gives
+hydrostatic equilibrium rho(y) = rho_top * exp(g*(H-y)/c0^2), i.e. ~30x
+compression at the floor of the settled pool — measured occupancy
+reaches ~430 particles per (2h)^2 cell by step 200, which matches that
+equilibrium, so it is the CORRECT physics of these parameters, not a
+blow-up.  The reference's linked lists tolerate unbounded occupancy
+(its 3x3 loop just gets slow); the fixed-capacity dense layout instead
+drops interactions beyond K per cell (overflow_count; the CLI warns
+loudly).  For faithful long runs at these defaults raise
+--bin-capacity (pair cost grows as K^2), or use physically
+weakly-compressible parameters (c0 >= 10*sqrt(g*H) keeps density
+variation ~1% and occupancy near the seeded mean).
 """
 
 from __future__ import annotations

@@ -224,3 +224,22 @@ def test_rank_pallas_matches_bin_rank():
     grid = cd.DenseGrid(Gx=32, Gy=32, cell=1.0, K=1 << 20)
     rank, ok, _ = cd.bin_rank(grid, jnp.zeros((n, 2), jnp.float32), cid=cid)
     np.testing.assert_array_equal(got, np.asarray(rank))
+
+
+def test_default_eos_compresses_to_hydrostatic_equilibrium():
+    """The reference defaults (c0=1, gamma=1, g=9.81) are not weakly
+    compressible: Tait gamma=1 gives rho(y) ~ rho_top*exp(g*(H-y)/c0^2),
+    ~e^2 per 0.2 box heights.  Verify the solver actually reaches that
+    regime (bottom band much denser than the pool top) and that
+    overflow_count surfaces the capacity drops instead of hiding them —
+    the documented fidelity trade of the fixed-K dense layout."""
+    cfg = sph.SPHConfig(n=8192, rain=False)
+    out = jax.jit(lambda s, n: sph.run(cfg, s, n), static_argnums=1)(
+        sph.init(cfg), 150)
+    pos = np.asarray(out.pos)
+    y = pos[:, 1]
+    bottom = (y < 0.05).sum()
+    upper = ((y > 0.15) & (y < 0.2)).sum()
+    assert bottom > 3 * max(upper, 1)  # strong stratification
+    # the compression must be *reported*, not silent
+    assert int(sph.overflow_count(cfg, out)) > 0
