@@ -878,7 +878,7 @@ def cmd_sph(args):
     print(f"t = {float(out.t):.4f} tau = {float(out.tau):.4f}  "
           f"({cfg.n * args.steps / 1e6:.2f}M particle-steps)")
     _report_overflow(int(sph.overflow_count(cfg, out)), cfg.n,
-                     remedy="raise --bin-capacity")
+                     remedy="raise --bin-capacity or use --engine exact")
     if args.render and not args.stride:
         print(frame(out))
 
@@ -1396,9 +1396,10 @@ def build_parser():
     p.add_argument("--no-rain", action="store_true")
     p.add_argument("--cols", type=int, default=100)
     p.add_argument("--rows", type=int, default=40)
-    p.add_argument("--engine", choices=("auto", "pallas", "xla"),
+    p.add_argument("--engine", choices=("auto", "pallas", "xla", "exact"),
                    default="auto",
-                   help="auto = fused Pallas kernels on TPU, XLA elsewhere")
+                   help="auto = fused Pallas kernels on TPU, XLA elsewhere; "
+                        "exact = O(n^2) all-pairs, correct at any occupancy")
     p.add_argument("--bin-capacity", type=int, default=0, dest="bin_capacity",
                    help="cell-dense slots per cell (0 = auto); particles "
                         "beyond it are dropped and reported")

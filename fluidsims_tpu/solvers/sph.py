@@ -33,7 +33,8 @@ equilibrium, so it is the CORRECT physics of these parameters, not a
 blow-up.  The reference's linked lists tolerate unbounded occupancy
 (its 3x3 loop just gets slow); the fixed-capacity dense layout instead
 drops interactions beyond K per cell (overflow_count; the CLI warns
-loudly).  For faithful long runs at these defaults raise
+loudly).  For faithful long runs at these defaults use
+engine='exact' (chunked all-pairs, correct at any occupancy), raise
 --bin-capacity (pair cost grows as K^2), or use physically
 weakly-compressible parameters (c0 >= 10*sqrt(g*H) keeps density
 variation ~1% and occupancy near the seeded mean).
@@ -47,6 +48,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..core.config import BaseConfig
 from ..ops import cell_dense as cd
@@ -77,7 +79,7 @@ class SPHConfig(BaseConfig):
     rain: bool = True
     seed: int = 69420
     cell_capacity: int = 0   # 0 = auto (8x mean occupancy, min 32)
-    engine: str = "auto"     # auto | pallas | xla
+    engine: str = "auto"     # auto | pallas | xla | exact
     dtype: str = "float32"
 
     def validate(self):
@@ -85,7 +87,7 @@ class SPHConfig(BaseConfig):
         self._require(self.box_x > 0 and self.box_y > 0, "box must be positive")
         self._require(self.c0 > 0, "c0 must be positive")
         self._require(self.visc_substeps >= 1, "visc_substeps >= 1")
-        self._require(self.engine in ("auto", "pallas", "xla"),
+        self._require(self.engine in ("auto", "pallas", "xla", "exact"),
                       "engine must be auto, pallas or xla")
 
     @property
@@ -359,9 +361,13 @@ def _rain(cfg, pos, vel, nspawn, seed):
 def resolve_engine(cfg: SPHConfig) -> str:
     """Static engine choice: the fused Pallas kernels
     (kernels/sph_pallas.py) when eligible on TPU, the XLA cell-dense path
-    otherwise.  Pallas requires f32, no XSPH, K%8==0 and cells%128==0."""
-    if cfg.engine == "xla":
-        return "xla"
+    otherwise.  Pallas requires f32, no XSPH, K%8==0 and cells%128==0.
+    'exact' selects the chunked all-pairs engine — O(n^2) but correct at
+    ANY occupancy (the escape hatch for the compressed default EOS; the
+    same trade the exact N-body default makes, ~150 GFLOP is cheap on
+    TPU)."""
+    if cfg.engine in ("xla", "exact"):
+        return cfg.engine
     g = cfg.grid()
     eligible = (
         not cfg.use_xsph
@@ -385,6 +391,8 @@ def resolve_engine(cfg: SPHConfig) -> str:
 
 def step(cfg: SPHConfig, st: SPHState) -> SPHState:
     """One frame step, on the engine picked by `resolve_engine`."""
+    if resolve_engine(cfg) == "exact":
+        return _step_exact(cfg, st)
     if resolve_engine(cfg) == "pallas":
         import jax
 
@@ -393,6 +401,159 @@ def step(cfg: SPHConfig, st: SPHState) -> SPHState:
         # off-TPU an explicit engine='pallas' runs interpreted (for tests)
         return make_step_pallas(cfg, interpret=jax.default_backend() != "tpu")(st)
     return _step_xla(cfg, st)
+
+
+_EXACT_FAR = 1.0e4   # pad particles parked far outside the box
+
+
+def _exact_pairs(cfg, pos, chunk):
+    """Pad to a chunk multiple and return per-component (n_pad,) arrays;
+    pad particles sit at a far point so every real-vs-pad pair fails the
+    r < 2h test (pad-vs-pad self pairs are discarded with the padding)."""
+    n = pos.shape[0]
+    CH = min(chunk, n)
+    n_pad = -(-n // CH) * CH
+    px = jnp.pad(pos[:, 0], (0, n_pad - n), constant_values=_EXACT_FAR)
+    py = jnp.pad(pos[:, 1], (0, n_pad - n), constant_values=_EXACT_FAR)
+    return px, py, CH, n_pad
+
+
+def _exact_density(cfg, pos, chunk=1024):
+    """All-pairs density + Tait pressure — k_density_pressure_cell
+    semantics (tau_sph.cu:178-213) with the neighbor enumeration exact
+    instead of capacity-bounded.  Chunked (CH, n) per-component pair
+    blocks (the lane-major nbody pattern)."""
+    h = cfg.h
+    px, py, CH, n_pad = _exact_pairs(cfg, pos, chunk)
+
+    def chunk_rho(pc):
+        dx = pc[0][:, None] - px[None, :]
+        dy = pc[1][:, None] - py[None, :]
+        r2 = dx * dx + dy * dy
+        valid = r2 < (2.0 * h) ** 2
+        w = jnp.where(valid,
+                      w_cubic(jnp.sqrt(jnp.maximum(r2, 0.0)), h), 0.0)
+        return cfg.mass * jnp.sum(w, axis=1)
+
+    stacked = jnp.stack([px, py]).reshape(2, -1, CH).transpose(1, 0, 2)
+    rho = lax.map(chunk_rho, stacked).reshape(-1)[:pos.shape[0]]
+    s = jnp.log(jnp.maximum(rho, 1e-6))
+    rho = jnp.exp(s)
+    return s, rho, tait_pressure(cfg, rho)
+
+
+def _exact_forces(cfg, pos, vel, rho, press, chunk=1024):
+    """All-pairs pressure-gradient + Monaghan viscosity
+    (k_forces_cell, tau_sph.cu:215-266), same per-pair math as
+    forces()."""
+    h = cfg.h
+    px, py, CH, n_pad = _exact_pairs(cfg, pos, chunk)
+    pad1 = lambda a, v: jnp.pad(a, (0, n_pad - a.shape[0]),  # noqa: E731
+                                constant_values=v)
+    vx = pad1(vel[:, 0], 0.0)
+    vy = pad1(vel[:, 1], 0.0)
+    rhop = pad1(rho, 1.0)
+    prp = pad1(press, 0.0)
+
+    def chunk_acc(blk):
+        cx, cy, cvx, cvy, crho, cpr = blk
+        dx = cx[:, None] - px[None, :]
+        dy = cy[:, None] - py[None, :]
+        r2 = dx * dx + dy * dy
+        valid = (r2 < (2.0 * h) ** 2) & (r2 > 1e-16)
+        r = jnp.sqrt(jnp.maximum(r2, 1e-30))
+        q = r / h
+        alpha = 10.0 / (7.0 * math.pi * h * h)
+        dWdq = jnp.where(q < 1.0,
+                         alpha * (-3.0 * q + 2.25 * q * q),
+                         alpha * (-0.75 * (2.0 - q) ** 2))
+        okg = (r > 1e-8) & (r < 2.0 * h)
+        scale = jnp.where(okg, dWdq / (h * jnp.maximum(r, 1e-8)), 0.0)
+
+        rho_i = jnp.maximum(crho[:, None], 1e-30)
+        rho_j = jnp.maximum(rhop[None, :], 1e-30)
+        common = -cfg.mass * (cpr[:, None] / (rho_i ** 2)
+                              + prp[None, :] / (rho_j ** 2))
+        if cfg.use_visc:
+            vijx = cvx[:, None] - vx[None, :]
+            vijy = cvy[:, None] - vy[None, :]
+            dot = vijx * dx + vijy * dy
+            mu = (h * dot) / (r2 + 0.01 * h * h)
+            rho_bar = 0.5 * (rho_i + rho_j)
+            pi_ij = jnp.where(
+                dot < 0.0, (-cfg.visc_alpha * cfg.c0 * mu) / rho_bar, 0.0)
+            common = common - cfg.mass * pi_ij
+        c = jnp.where(valid, common * scale, 0.0)
+        return jnp.stack([jnp.sum(c * dx, axis=1),
+                          jnp.sum(c * dy, axis=1)], -1)
+
+    blk = jnp.stack([px, py, vx, vy, rhop, prp])
+    blk = blk.reshape(6, -1, CH).transpose(1, 0, 2)
+    acc = lax.map(chunk_acc, blk).reshape(-1, 2)[:pos.shape[0]]
+    if cfg.use_grav:
+        acc = acc + jnp.asarray([0.0, -cfg.gravity], pos.dtype)
+    return acc
+
+
+def _exact_xsph(cfg, pos, vel, rho, chunk=1024):
+    """All-pairs XSPH smoothing (k_xsph_cell, tau_sph.cu:274-313)."""
+    h = cfg.h
+    px, py, CH, n_pad = _exact_pairs(cfg, pos, chunk)
+    pad1 = lambda a, v: jnp.pad(a, (0, n_pad - a.shape[0]),  # noqa: E731
+                                constant_values=v)
+    vx = pad1(vel[:, 0], 0.0)
+    vy = pad1(vel[:, 1], 0.0)
+    rhop = pad1(rho, 1.0)
+
+    def chunk_dv(blk):
+        cx, cy, cvx, cvy, crho = blk
+        dx = cx[:, None] - px[None, :]
+        dy = cy[:, None] - py[None, :]
+        r2 = dx * dx + dy * dy
+        valid = (r2 < (2.0 * h) ** 2) & (r2 > 1e-16)
+        w = jnp.where(valid,
+                      w_cubic(jnp.sqrt(jnp.maximum(r2, 0.0)), h), 0.0)
+        rho_bar = 0.5 * (jnp.maximum(crho[:, None], 1e-30)
+                         + jnp.maximum(rhop[None, :], 1e-30))
+        f = (cfg.mass / rho_bar) * w
+        return jnp.stack([jnp.sum(f * (vx[None, :] - cvx[:, None]), 1),
+                          jnp.sum(f * (vy[None, :] - cvy[:, None]), 1)], -1)
+
+    blk = jnp.stack([px, py, vx, vy, rhop]).reshape(5, -1, CH)
+    dv = lax.map(chunk_dv, blk.transpose(1, 0, 2)).reshape(-1, 2)
+    return cfg.xsph_eps * dv[:pos.shape[0]]
+
+
+def _step_exact(cfg: SPHConfig, st: SPHState) -> SPHState:
+    """_step_xla with the neighbor sums exact (all pairs, no capacity)."""
+    K = cfg.visc_substeps
+    dt_try = st.t * cfg.dtau
+    dt_cfl = cfg.cfl * cfg.h / (cfg.c0 * (1.0 + 2.0 * cfg.visc_alpha))
+    dt_sub = jnp.minimum(dt_try, dt_cfl) / K
+
+    pos, vel = st.pos, st.vel
+    rain_carry = st.rain_carry
+    t = st.t
+    dtau_accum = jnp.asarray(0.0, st.t.dtype)
+
+    for k in range(K):
+        s, rho, press = _exact_density(cfg, pos)
+        acc = _exact_forces(cfg, pos, vel, rho, press)
+        pos, vel = _integrate(cfg, pos, vel, acc, dt_sub)
+        if cfg.use_xsph and cfg.xsph_eps > 0.0:
+            dv = _exact_xsph(cfg, pos, vel, rho)
+            vel = vel + dv
+        if cfg.rain:
+            rain_carry = rain_carry + 0.02 * cfg.n * dt_sub
+            nspawn = jnp.minimum(jnp.floor(rain_carry), _RAIN_MAX).astype(
+                jnp.int32)
+            rain_carry = rain_carry - nspawn
+            pos, vel = _rain(cfg, pos, vel, nspawn, cfg.seed + st.step_idx)
+        dtau_accum = dtau_accum + dt_sub / jnp.maximum(t, 1e-9)
+        t = cfg.t0 * jnp.exp(st.tau + dtau_accum)
+
+    return SPHState(pos=pos, vel=vel, t=t, tau=st.tau + dtau_accum,
+                    rain_carry=rain_carry, step_idx=st.step_idx + 1)
 
 
 def _step_xla(cfg: SPHConfig, st: SPHState) -> SPHState:
@@ -509,6 +670,8 @@ def overflow_count(cfg: SPHConfig, st: SPHState) -> jnp.ndarray:
     reports it so clustered distributions can't silently lose physics
     relative to the reference's unbounded linked lists (tau_sph.cu:165-176).
     """
+    if resolve_engine(cfg) == "exact":
+        return jnp.zeros((), jnp.int32)
     return cd.bin_particles(cfg.grid(), st.pos).overflow
 
 

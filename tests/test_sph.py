@@ -243,3 +243,39 @@ def test_default_eos_compresses_to_hydrostatic_equilibrium():
     assert bottom > 3 * max(upper, 1)  # strong stratification
     # the compression must be *reported*, not silent
     assert int(sph.overflow_count(cfg, out)) > 0
+
+
+def test_exact_engine_matches_allpairs_oracle_f64():
+    """engine='exact' (chunked all-pairs, correct at any occupancy) vs
+    the independent f64 oracle — the engine that stays faithful when the
+    default EOS compresses beyond the cell-dense capacity."""
+    from tests.oracles.sph_oracle import SPHOracle
+
+    cfg = sph.SPHConfig(n=256, rain=False, use_xsph=True, xsph_eps=0.25,
+                        visc_substeps=2, dtype="float64", engine="exact")
+    s = sph.init(cfg)
+    orc = SPHOracle(cfg, np.asarray(s.pos), np.asarray(s.vel),
+                    float(s.t), float(s.tau))
+    step = jax.jit(lambda st: sph.step(cfg, st))
+    for _ in range(2):
+        s = step(s)
+        orc.step()
+    assert np.abs(np.asarray(s.pos) - orc.pos).max() < 1e-13
+    assert np.abs(np.asarray(s.vel) - orc.vel).max() < 1e-13
+    np.testing.assert_allclose(float(s.t), orc.t, rtol=1e-12)
+
+
+def test_exact_engine_agrees_with_dense_at_low_occupancy():
+    """Before any cell overflows, the dense and exact engines enumerate
+    the same pair set and must agree to f32 summation order."""
+    kw = dict(n=2048, rain=False, dtau=1e-2)
+    cfg_d = sph.SPHConfig(engine="xla", **kw)
+    cfg_e = sph.SPHConfig(engine="exact", **kw)
+    a = jax.jit(lambda s, k: sph.run(cfg_d, s, k), static_argnums=1)(
+        sph.init(cfg_d), 5)
+    b = jax.jit(lambda s, k: sph.run(cfg_e, s, k), static_argnums=1)(
+        sph.init(cfg_e), 5)
+    assert int(sph.overflow_count(cfg_d, a)) == 0
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos),
+                               rtol=0, atol=1e-5)
+    assert int(sph.overflow_count(cfg_e, b)) == 0  # exact never drops
