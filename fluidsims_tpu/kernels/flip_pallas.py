@@ -81,9 +81,9 @@ def _vshift(a, oy, n):
 
 def _p2g_kernel(*refs, cfg, n, K):
     """Eight grid rows of P2G per program: refs = 3 slab row-blocks
-    (14, K, 8n) spanning padded rows [8(i-1)+8 .. 8(i+2)+8) + out
-    (3, 8, n).  Target row r (local 0..7) sits at window lane offset
-    (8 + r) * n."""
+    (14, K, 8n) spanning padded rows [8i, 8i + 24) + out (3, 8, n).
+    Target row r (local 0..7) is padded row 8i + 8 + r, i.e. window
+    lane offset (8 + r) * n."""
     wins, out = refs[:-1], refs[-1]
     w = jnp.concatenate([r[:] for r in wins], axis=-1)   # (14, K, 24n)
     dtype = out.dtype

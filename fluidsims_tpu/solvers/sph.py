@@ -18,11 +18,14 @@ blocks (pure VPU arithmetic, no gathers), and results return to particle
 order with one small gather per output.  Static shapes, no data-dependent
 loops, the whole step compiles as one jit.
 
-Two engines (resolve_engine): 'xla' is the dataflow path above (2.8M
+Engines (resolve_engine): 'xla' is the dataflow path above (2.8M
 particle-steps/s at 65k on one v5e chip); 'pallas' fuses the pair passes
 in VMEM (kernels/sph_pallas.py, 11.0M particle-steps/s, same physics to
 f32 summation order).  The per-particle-gather formulation this replaced
-ran 87x slower still and crashed the TPU compiler at 65k.
+ran 87x slower still and crashed the TPU compiler at 65k.  'exact'
+is a chunked all-pairs engine (0.63M particle-steps/s at 65k) — O(n^2)
+but correct at ANY occupancy; see the CAVEAT below for when that
+matters.
 
 CAVEAT on the reference defaults (c0=1, gamma_eos=1, gravity=9.81): this
 parameter set is NOT weakly compressible.  Tait with gamma=1 gives
