@@ -115,8 +115,17 @@ def _colgather(S, c, n):
     return jnp.concatenate(outs, axis=1)
 
 
-def _advect_kernel(qpad_ref, uu_ref, vv_ref, eta_ref, xp_ref, yp_ref,
-                   out_ref, ovf_ref, *, dt, n, k_band):
+def _advect_kernel(*refs, dt, n, k_band, n_fields):
+    """Banded-row + exact-column advection for `n_fields` q-fields that
+    share one (uu, vv) backtrace — the velocity step advects u0 and v0
+    with the SAME coordinates (js_cuda.cu:176-177), so the index math
+    and the per-offset corner weights are computed once and only the
+    column gathers run per field."""
+    qpads = refs[:n_fields]
+    uu_ref, vv_ref, eta_ref, xp_ref, yp_ref = refs[n_fields:n_fields + 5]
+    outs = refs[n_fields + 5:n_fields + 5 + n_fields]
+    ovf_ref = refs[-1]
+
     eta = eta_ref[0, :]
     xp = xp_ref[0, :]
     yp = yp_ref[0, :]
@@ -142,36 +151,45 @@ def _advect_kernel(qpad_ref, uu_ref, vv_ref, eta_ref, xp_ref, yp_ref,
     ovf_ref[:, :] = jnp.sum((disp != disp_c).astype(jnp.int32),
                             keepdims=True)
 
-    def corner_pair(slab, koff, acc):
-        g_lo = _colgather(slab, c_lo, n)
-        g_hi = _colgather(slab, c_hi, n)
-        p = s0 * g_lo + s1 * g_hi
+    def corner_pair(slabs, koff, accs):
         w = (jnp.where(disp_c == koff, t0, 0.0)
              + jnp.where(disp_c == koff - 1, t1, 0.0))
-        return acc + w * p
+        out = []
+        for slab, acc in zip(slabs, accs):
+            g_lo = _colgather(slab, c_lo, n)
+            g_hi = _colgather(slab, c_hi, n)
+            out.append(acc + w * (s0 * g_lo + s1 * g_hi))
+        return tuple(out)
 
     n_kh = (2 * k_band + 2 + 7) // 8
 
-    def body(kh, acc):
+    def body(kh, accs):
         base = pl.multiple_of(kh * 8, 8)
-        slab8 = qpad_ref[pl.ds(base, n + 8), :]
+        slab8s = [q[pl.ds(base, n + 8), :] for q in qpads]
         for kl in range(8):
-            acc = corner_pair(slab8[kl:kl + n, :], kh * 8 + kl - k_band, acc)
-        return acc
+            accs = corner_pair([s8[kl:kl + n, :] for s8 in slab8s],
+                               kh * 8 + kl - k_band, accs)
+        return accs
 
-    acc = lax.fori_loop(0, n_kh - 1, body, jnp.zeros((n, n), out_ref.dtype))
+    accs = lax.fori_loop(
+        0, n_kh - 1, body,
+        tuple(jnp.zeros((n, n), o.dtype) for o in outs))
     # static tail: only the offsets the band actually needs
-    slab8 = qpad_ref[(n_kh - 1) * 8:(n_kh - 1) * 8 + n + 8, :]
+    slab8s = [q[(n_kh - 1) * 8:(n_kh - 1) * 8 + n + 8, :] for q in qpads]
     for kl in range(2 * k_band + 2 - (n_kh - 1) * 8):
-        acc = corner_pair(slab8[kl:kl + n, :],
-                          (n_kh - 1) * 8 + kl - k_band, acc)
-    out_ref[:] = acc
+        accs = corner_pair([s8[kl:kl + n, :] for s8 in slab8s],
+                           (n_kh - 1) * 8 + kl - k_band, accs)
+    for o, acc in zip(outs, accs):
+        o[:] = acc
 
 
-def make_advect_pallas(cfg, interpret: bool = False):
-    """Build `advect(q0, uu, vv) -> (q_new, overflow_count)` for cfg.
+def make_advect_pallas(cfg, interpret: bool = False, n_fields: int = 1):
+    """Build the banded advection call for cfg.
 
-    Requires float32 and n % 128 == 0 (column-chunked lane gathers)."""
+    n_fields=1: advect(q0, uu, vv) -> (q_new, overflow_count).
+    n_fields=2: advect(q0a, q0b, uu, vv) -> (qa, qb, overflow_count) —
+    both fields back-traced with the same coordinates (the velocity
+    self-advection pair).  Requires float32 and n % 128 == 0."""
     n = cfg.n
     K = cfg.advect_band
     if n % _LANE:
@@ -185,19 +203,24 @@ def make_advect_pallas(cfg, interpret: bool = False):
     n_kh = (2 * K + 2 + 7) // 8
 
     call = pl.pallas_call(
-        functools.partial(_advect_kernel, dt=cfg.dt, n=n, k_band=K),
-        out_shape=(jax.ShapeDtypeStruct((n, n), dt_),
-                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        functools.partial(_advect_kernel, dt=cfg.dt, n=n, k_band=K,
+                          n_fields=n_fields),
+        out_shape=([jax.ShapeDtypeStruct((n, n), dt_)] * n_fields
+                   + [jax.ShapeDtypeStruct((1, 1), jnp.int32)]),
+        # the 2-field variant needs ~115 MB of scoped VMEM at 512^2
+        # (v5e has 128 MB); the default 100 MB cap rejects it
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=122 * 1024 * 1024),
         interpret=interpret,
     )
 
-    def advect(q0, uu, vv):
+    def advect(*args):
+        qs = args[:n_fields]
+        uu, vv = args[n_fields:]
         # rows: K zeros on top (offset -K), then enough tail zeros that the
         # last aligned 8-row load stays in bounds
-        qpad = jnp.pad(q0, ((K, 8 * n_kh - K), (0, 0)))
-        out, ovf = call(qpad, uu, vv, eta, xp, yp)
-        return out, ovf[0, 0]
+        qpads = [jnp.pad(q, ((K, 8 * n_kh - K), (0, 0))) for q in qs]
+        out = call(*qpads, uu, vv, eta, xp, yp)
+        return (*out[:n_fields], out[n_fields][0, 0])
 
     return advect

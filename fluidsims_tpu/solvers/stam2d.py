@@ -270,12 +270,16 @@ def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
 
         interp = jax.default_backend() != "tpu"
         adv = make_advect_pallas(cfg, interpret=interp)
+        adv2 = make_advect_pallas(cfg, interpret=interp, n_fields=2)
         advect = lambda q0, uu, vv: adv(q0, uu, vv)[0]  # noqa: E731
+        advect_pair = lambda qa, qb, uu, vv: adv2(qa, qb, uu, vv)[:2]  # noqa: E731
         solve = make_lin_solve_pallas(cfg.n, cfg.jacobi_iters,
                                       cfg.jax_dtype, interpret=interp)
         lin_solve = lambda x, b, a, c: solve(x, b, a, c)  # noqa: E731
     else:
         advect = lambda q0, uu, vv: _advect(cfg, q0, uu, vv)  # noqa: E731
+        advect_pair = lambda qa, qb, uu, vv: (  # noqa: E731
+            _advect(cfg, qa, uu, vv), _advect(cfg, qb, uu, vv))
         lin_solve = lambda x, b, a, c: _lin_solve(cfg, x, b, a, c)  # noqa: E731
 
     def diffuse(x, x0, coeff):
@@ -289,8 +293,7 @@ def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
     u0 = diffuse(s.u0, u, cfg.visc)
     v0 = diffuse(s.v0, v, cfg.visc)
     u0, v0 = _project(cfg, u0, v0, dx_w, dy_w, lin_solve)
-    u = advect(u0, u0, v0)
-    v = advect(v0, u0, v0)
+    u, v = advect_pair(u0, v0, u0, v0)
     u, v = _project(cfg, u, v, dx_w, dy_w, lin_solve)
 
     # dens_step (js_cuda.cu:184-191)

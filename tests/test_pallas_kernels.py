@@ -215,3 +215,28 @@ def test_stam2d_lin_solve_pallas_matches_xla():
             lambda x, b, a=a, c=c: st._lin_solve(cfg, x, b, a, c))(x, b))
         # fma-contraction order differs per sweep; 40 sweeps accumulate
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
+def test_stam2d_pair_advect_matches_single():
+    """The shared-coordinate two-field advection (n_fields=2) must equal
+    two single-field calls exactly (same gathers, same weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluidsims_tpu.kernels import stam2d_pallas as s2p
+    from fluidsims_tpu.solvers import stam2d as st
+
+    cfg = st.Stam2DConfig(n=128, advect_band=8)
+    rng = np.random.default_rng(11)
+    qa = jnp.asarray(rng.random((128, 128), dtype=np.float32))
+    qb = jnp.asarray(rng.random((128, 128), dtype=np.float32))
+    uu = jnp.asarray((rng.random((128, 128)) * 0.2 - 0.1).astype(np.float32))
+    vv = jnp.asarray((rng.random((128, 128)) * 0.2 - 0.1).astype(np.float32))
+    adv1 = s2p.make_advect_pallas(cfg, interpret=True)
+    adv2 = s2p.make_advect_pallas(cfg, interpret=True, n_fields=2)
+    ra, ovf_a = jax.jit(adv1)(qa, uu, vv)
+    rb, ovf_b = jax.jit(adv1)(qb, uu, vv)
+    pa, pb, ovf_p = jax.jit(adv2)(qa, qb, uu, vv)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(ra))
+    np.testing.assert_array_equal(np.asarray(pb), np.asarray(rb))
+    assert int(ovf_p) == int(ovf_a) == int(ovf_b)
