@@ -65,6 +65,7 @@ from typing import NamedTuple
 from ..kernels import sph_pallas as sp
 from ..ops import cell_dense as cd
 from ..solvers import sph as sph_mod
+from .spatial_common import compact as _compact
 
 __all__ = ["SpatialSPHState", "shard_state", "make_sharded_run",
            "gather_state"]
@@ -160,16 +161,6 @@ def gather_state(s: SpatialSPHState, n: int):
     return out_p, out_v
 
 
-def _compact(vals, keep, cap, fill_row):
-    """Scatter rows where keep=True to the front of a (cap, c) buffer
-    (cumsum positions; overflow rows drop).  Returns (buffer, n_dropped)."""
-    dst = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    total = jnp.sum(keep.astype(jnp.int32))
-    dst = jnp.where(keep, dst, cap + jnp.arange(keep.shape[0]))
-    buf = jnp.broadcast_to(fill_row, (cap, vals.shape[1])).astype(vals.dtype)
-    buf = buf.at[dst].set(vals, mode="drop")
-    # rows that fit are [0, cap); beyond that they were dropped by mode
-    return buf, jnp.maximum(total - cap, 0)
 
 
 def _local_steps(cfg, axis, n_dev, n_steps, interpret, P_cap, mig_cap,

@@ -195,3 +195,57 @@ def test_spatial_sph_rejects_rain_and_xsph():
     with pytest.raises(ValueError, match="XSPH"):
         ssp.make_sharded_run(
             sph.SPHConfig(n=16384, rain=False, use_xsph=True), mesh, 1)
+
+
+def test_spatial_flip_matches_single_chip():
+    """Spatially-sharded FLIP (parallel/flip_spatial.py): x-slab grid +
+    particle ownership, ppermute halo reduce/fill, banded Jacobi and
+    migration must reproduce the single-chip dense engine (compared by
+    particle id; P2G summation order differs, so short-horizon f32
+    tolerance)."""
+    from fluidsims_tpu.core.stepper import scan_steps
+    from fluidsims_tpu.parallel import flip_spatial as fsp
+
+    cfg = _cfg(engine="dense")
+    mesh = make_mesh_1d(8, axis="x")
+    s0 = fa.init(cfg)
+    st = fsp.shard_state(s0, cfg, mesh)
+    out = fsp.make_sharded_run(cfg, mesh, 5)(st)
+    assert int(out.lost) == 0
+    pos, vel, ax, ay = fsp.gather_state(out, cfg.particles)
+    assert not np.isnan(pos).any()
+    ref = jax.jit(lambda s: scan_steps(
+        lambda st_: fa.step(cfg, st_), s, 5))(s0)
+    np.testing.assert_allclose(pos, np.asarray(ref.pos), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(vel, np.asarray(ref.vel), rtol=0, atol=2e-4)
+    np.testing.assert_allclose(ax, np.asarray(ref.affine_x), rtol=0,
+                               atol=2e-2)  # affine = finite differences of
+    np.testing.assert_allclose(ay, np.asarray(ref.affine_y), rtol=0,
+                               atol=2e-2)  # p-noise-amplified samples
+    # density raster agrees with the single-chip raster of the same pos
+    dref = np.asarray(ref.density)
+    np.testing.assert_array_equal(np.asarray(out.density), dref)
+
+
+def test_spatial_flip_migrates_and_scales_memory():
+    """Long-horizon: particles cross slab boundaries under the swirl,
+    nothing is lost at the default slack, and the owner buffers shard."""
+    from fluidsims_tpu.parallel import flip_spatial as fsp
+
+    cfg = _cfg(engine="dense")
+    mesh = make_mesh_1d(8, axis="x")
+    s0 = fa.init(cfg)
+    st = fsp.shard_state(s0, cfg, mesh)
+    ids0 = np.asarray(st.ids).reshape(8, -1)
+    out = fsp.make_sharded_run(cfg, mesh, 40)(st)
+    assert int(out.lost) == 0
+    ids1 = np.asarray(out.ids).reshape(8, -1)
+    moved = sum(len(set(ids1[d][ids1[d] >= 0].tolist())
+                    - set(ids0[d][ids0[d] >= 0].tolist()))
+                for d in range(8))
+    assert moved > 50  # migration is actually exercised
+    pos, vel, _, _ = fsp.gather_state(out, cfg.particles)
+    assert not np.isnan(pos).any()
+    assert (pos >= 0.009).all() and (pos <= 0.991).all()
+    shard = out.pos.sharding.shard_shape(out.pos.shape)
+    assert shard[0] == out.pos.shape[0] // 8
