@@ -249,3 +249,55 @@ def test_spatial_flip_migrates_and_scales_memory():
     assert (pos >= 0.009).all() and (pos <= 0.991).all()
     shard = out.pos.sharding.shard_shape(out.pos.shape)
     assert shard[0] == out.pos.shape[0] // 8
+
+
+def test_spatial_mpm_matches_single_chip():
+    """Spatially-sharded MLS-MPM (parallel/mpm_spatial.py): x-slab grid +
+    particle ownership, ppermute halo reduce/fill and migration must
+    reproduce the single-chip dense engine (compared by particle id;
+    P2G summation order differs, so short-horizon f32 tolerance)."""
+    from fluidsims_tpu.parallel import mpm_spatial as msp
+    from fluidsims_tpu.solvers import mpm
+
+    cfg = mpm.MPMConfig(n=4096, gx=48, gy=48, engine="dense")
+    mesh = make_mesh_1d(8, axis="x")
+    s0 = mpm.init(cfg)
+    st = msp.shard_state(s0, cfg, mesh)
+    out = msp.make_sharded_run(cfg, mesh, 5)(st)
+    assert int(out.lost) == 0
+    got = msp.gather_state(out, cfg.n)
+    assert not np.isnan(got.pos).any()
+    ref = jax.jit(lambda s: mpm.run(cfg, s, 5))(s0)
+    np.testing.assert_allclose(got.pos, np.asarray(ref.pos),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(got.vel, np.asarray(ref.vel),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(got.F, np.asarray(ref.F), rtol=0, atol=2e-4)
+    np.testing.assert_allclose(got.Jp, np.asarray(ref.Jp),
+                               rtol=0, atol=2e-4)
+
+
+def test_spatial_mpm_migrates_and_scales_memory():
+    """Long-horizon: the shear-velocity block crosses slab boundaries,
+    nothing is lost at the default slack, and the owner buffers shard."""
+    from fluidsims_tpu.parallel import mpm_spatial as msp
+    from fluidsims_tpu.solvers import mpm
+
+    cfg = mpm.MPMConfig(n=4096, gx=48, gy=48, dt=4.0e-4, engine="dense")
+    mesh = make_mesh_1d(8, axis="x")
+    st = msp.shard_state(mpm.init(cfg), cfg, mesh)
+    ids0 = np.asarray(st.ids).reshape(8, -1)
+    out = msp.make_sharded_run(cfg, mesh, 300)(st)
+    assert int(out.lost) == 0
+    ids1 = np.asarray(out.ids).reshape(8, -1)
+    moved = sum(len(set(ids1[d][ids1[d] >= 0].tolist())
+                    - set(ids0[d][ids0[d] >= 0].tolist()))
+                for d in range(8))
+    assert moved > 50  # migration is actually exercised
+    got = msp.gather_state(out, cfg.n)
+    assert not np.isnan(got.pos).any()
+    dx = cfg.dx
+    assert (got.pos[:, 0] >= 2.0 * dx - 1e-6).all()
+    assert (got.pos[:, 0] <= (cfg.gx - 3.0) * dx + 1e-6).all()
+    shard = out.pos.sharding.shard_shape(out.pos.shape)
+    assert shard[0] == out.pos.shape[0] // 8
