@@ -285,47 +285,19 @@ def _gshift(a, oy: int, ox: int):
     return padded[y0:y0 + n0, x0:x0 + n1]
 
 
-def _step_dense(cfg: FlipApicConfig, s: FlipApicState,
-                grid_reduce=None) -> FlipApicState:
-    """Cell-dense engine: bin once, transfers via dense sums + static
-    shifts (module docstring).  `grid_reduce` (e.g. lax.psum over a mesh
-    axis) merges per-device partial P2G transfers and density rasters —
-    the multi-chip hook used by parallel/flip_sharded.py."""
-    from ..ops import cell_dense as cd
-
+def _dense_transfers(cfg, dgx, dgy, dvx, dvy, dax, day, dpx, dpy,
+                     cxp, cxm, cyp, cym, occf, grid_reduce=None):
+    """P2G -> grid phase -> G2P -> advection on the cell-dense (n, n, K)
+    layout, shared by the scatter-built engine (_step_dense) and the
+    resident-slab engine (solvers/flip_resident.py).  All inputs are
+    per-slot (n, n, K) channels (dax/day are (n, n, K, 2)); empty slots
+    must hold zeros with occf = 0.  Returns dense_out (n, n, K, 8) =
+    [new px, py, vx, vy, ax0, ax1, ay0, ay1]."""
     n = cfg.grid
     dt = cfg.dt
-    dtype = s.pos.dtype
-    K = cfg.capacity
-    px, py = s.pos[:, 0], s.pos[:, 1]
-    gxp = px * (n - 1)
-    gyp = py * (n - 1)
-    bxp = jnp.clip(jnp.floor(gxp).astype(jnp.int32), 0, n - 1)
-    byp = jnp.clip(jnp.floor(gyp).astype(jnp.int32), 0, n - 1)
-    grid = cd.DenseGrid(Gx=n, Gy=n, cell=1.0, K=K)
-    cells = cd.bin_particles(grid, s.pos, cid=byp * n + bxp)
-
-    # ONE stacked scatter for all per-particle inputs (element scatters
-    # are the pathology; row scatters amortize it across channels).  The
-    # direct value-scatter variant that won 25% for MPM measured ~4%
-    # SLOWER here (K=24 keeps the inverse-map gather small), so FLIP
-    # keeps the inverse-map transfer.
+    dtype = dgx.dtype
+    K = dgx.shape[-1]
     h = 1.0 / (n - 1)
-    packed = jnp.stack([
-        gxp, gyp, s.vel[:, 0], s.vel[:, 1],
-        s.affine_x[:, 0], s.affine_x[:, 1],
-        s.affine_y[:, 0], s.affine_y[:, 1],
-        px, py,
-        (px + h) * (n - 1), (px - h) * (n - 1),
-        (py + h) * (n - 1), (py - h) * (n - 1),
-    ], -1)
-    dall = cd.scatter_field(grid, cells, packed)      # (n, n, K, 14)
-    dgx, dgy = dall[..., 0], dall[..., 1]
-    dvx, dvy = dall[..., 2], dall[..., 3]
-    dax = dall[..., 4:6]
-    day = dall[..., 6:8]
-    dpx, dpy = dall[..., 8], dall[..., 9]
-    occf = cells.occ.astype(dtype)
 
     ix = lax.broadcasted_iota(jnp.int32, (n, n, K), 1).astype(dtype)
     iy = lax.broadcasted_iota(jnp.int32, (n, n, K), 0).astype(dtype)
@@ -375,10 +347,10 @@ def _step_dense(cfg: FlipApicConfig, s: FlipApicState,
     # per-particle sample coordinates, computed exactly as the scatter
     # path does (then scattered), so FP matches it bit for bit
     cgx, cgy = clipc(dgx), clipc(dgy)
-    cxp = clipc(dall[..., 10])
-    cxm = clipc(dall[..., 11])
-    cyp = clipc(dall[..., 12])
-    cym = clipc(dall[..., 13])
+    cxp = clipc(cxp)
+    cxm = clipc(cxm)
+    cyp = clipc(cyp)
+    cym = clipc(cym)
 
     C = (0, 1)          # central window per axis
     W = (-2, -1, 0, 1, 2)  # wide window for the +-h samples (covers clips)
@@ -408,10 +380,54 @@ def _step_dense(cfg: FlipApicConfig, s: FlipApicState,
     nx_ = jnp.clip(nx_, 0.01, 0.99)
     ny_ = jnp.clip(ny_, 0.01, 0.99)
 
+    return jnp.stack(
+        [nx_, ny_, vel_x, vel_y, nax_x, nax_y, nay_x, nay_y], -1)
+
+
+def _step_dense(cfg: FlipApicConfig, s: FlipApicState,
+                grid_reduce=None) -> FlipApicState:
+    """Cell-dense engine: bin once, transfers via dense sums + static
+    shifts (module docstring).  `grid_reduce` (e.g. lax.psum over a mesh
+    axis) merges per-device partial P2G transfers and density rasters —
+    the multi-chip hook used by parallel/flip_sharded.py."""
+    from ..ops import cell_dense as cd
+
+    n = cfg.grid
+    dtype = s.pos.dtype
+    K = cfg.capacity
+    px, py = s.pos[:, 0], s.pos[:, 1]
+    gxp = px * (n - 1)
+    gyp = py * (n - 1)
+    bxp = jnp.clip(jnp.floor(gxp).astype(jnp.int32), 0, n - 1)
+    byp = jnp.clip(jnp.floor(gyp).astype(jnp.int32), 0, n - 1)
+    grid = cd.DenseGrid(Gx=n, Gy=n, cell=1.0, K=K)
+    cells = cd.bin_particles(grid, s.pos, cid=byp * n + bxp)
+
+    # ONE stacked scatter for all per-particle inputs (element scatters
+    # are the pathology; row scatters amortize it across channels).  The
+    # direct value-scatter variant that won 25% for MPM measured ~4%
+    # SLOWER here (K=24 keeps the inverse-map gather small), so FLIP
+    # keeps the inverse-map transfer.
+    h = 1.0 / (n - 1)
+    packed = jnp.stack([
+        gxp, gyp, s.vel[:, 0], s.vel[:, 1],
+        s.affine_x[:, 0], s.affine_x[:, 1],
+        s.affine_y[:, 0], s.affine_y[:, 1],
+        px, py,
+        (px + h) * (n - 1), (px - h) * (n - 1),
+        (py + h) * (n - 1), (py - h) * (n - 1),
+    ], -1)
+    dall = cd.scatter_field(grid, cells, packed)      # (n, n, K, 14)
+    occf = cells.occ.astype(dtype)
+
+    dense_out = _dense_transfers(
+        cfg, dall[..., 0], dall[..., 1], dall[..., 2], dall[..., 3],
+        dall[..., 4:6], dall[..., 6:8], dall[..., 8], dall[..., 9],
+        dall[..., 10], dall[..., 11], dall[..., 12], dall[..., 13],
+        occf, grid_reduce)
+
     # back to particle order with ONE stacked gather (dropped/overflow
     # particles keep their previous state)
-    dense_out = jnp.stack(
-        [nx_, ny_, vel_x, vel_y, nax_x, nax_y, nay_x, nay_y], -1)
     got = cd.gather_result(grid, cells, dense_out)    # (np, 8)
     okc = cells.ok[:, None]
     old = jnp.concatenate(

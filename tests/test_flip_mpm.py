@@ -164,3 +164,54 @@ def test_mpm_pallas_engine_matches_dense():
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.F), np.asarray(b.F),
                                rtol=0, atol=1e-9)
+
+
+def test_resident_engine_matches_dense():
+    """The resident-slab engine (solvers/flip_resident.py, the documented
+    negative result) must still be CORRECT: same trajectory as the dense
+    engine to f32 summation-order tolerance, exact binning round-trip,
+    zero loss, and an exactly matching density raster."""
+    import jax
+
+    from fluidsims_tpu.solvers import flip_resident as fr
+
+    cfg = fa.FlipApicConfig(particles=4096, grid=32, jacobi=8,
+                            engine="dense")
+    s0 = fa.init(cfg)
+
+    rt = fr.to_flat(cfg, fr.to_resident(cfg, s0))
+    np.testing.assert_array_equal(np.asarray(rt.pos), np.asarray(s0.pos))
+    np.testing.assert_array_equal(np.asarray(rt.vel), np.asarray(s0.vel))
+
+    out, lost = jax.jit(lambda s: fr.run_resident(cfg, s, 20))(s0)
+    ref = jax.jit(lambda s: fa.run(cfg, s, 20))(s0)
+    assert int(lost) == 0
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               rtol=0, atol=3e-4)
+    assert int(np.asarray(out.density).sum()) == cfg.particles
+
+
+def test_resident_engine_homeless_recovery():
+    """Movers into a full cell wait frozen in the homeless buffer and are
+    re-inserted when room appears; particles are never silently dropped
+    (lost counts only true buffer overruns)."""
+    import jax
+
+    from fluidsims_tpu.solvers import flip_resident as fr
+
+    # tiny capacity forces overflow at init: K slots per cell, the rest
+    # start homeless
+    cfg = fa.FlipApicConfig(particles=2048, grid=16, jacobi=4,
+                            engine="dense", bin_capacity=8)
+    s0 = fa.init(cfg)
+    r0 = fr.to_resident(cfg, s0)
+    n_home0 = int((np.asarray(r0.homeless[:, 9]) >= 0).sum())
+    assert n_home0 > 0  # the clustered block overflows K=8 somewhere
+
+    out = jax.jit(lambda st: fr.step_resident(cfg, st))(r0)
+    ids = np.asarray(out.ids)
+    hid = np.asarray(out.homeless[:, 9])
+    n_total = (ids >= 0).sum() + (hid >= 0).sum() + int(out.lost)
+    assert n_total == cfg.particles  # full accounting, nothing vanishes
