@@ -141,13 +141,31 @@ def project_3d(pos, cam: OrbitCamera, W: int, H: int):
     return sx, sy, visible
 
 
-def _raster_frame(n, sx, sy, ok, x, y, z, W, H, scheme, color):
+def _splat_offsets(zoom: float):
+    """Zoom-LOD point sizing (draw_points_fast_xy, number_fluid2d.c:
+    738-760): below 1.5 subpix/world-unit a point is one subpixel, below
+    5.0 a 2x2 block, beyond that a disc of radius max(1, 0.35*zoom)
+    subpixels — the terminal analog of the reference's pixel / 2x2 rect /
+    world-radius circle tiers."""
+    if zoom < 1.5:
+        return ((0, 0),)
+    if zoom < 5.0:
+        return ((0, 0), (1, 0), (0, 1), (1, 1))
+    r = min(8, max(1, int(round(0.35 * zoom))))
+    return tuple((dx, dy) for dy in range(-r, r + 1)
+                 for dx in range(-r, r + 1) if dx * dx + dy * dy <= r * r)
+
+
+def _raster_frame(n, sx, sy, ok, x, y, z, W, H, scheme, color,
+                  offsets=((0, 0),)):
     """Shared winner-takes-highest-index rasterizer + ANSI assembly."""
     SH = 2 * H
-    ok = ok & (sx >= 0) & (sx < W) & (sy >= 0) & (sy < SH)
     winner = np.full(SH * W, -1, np.int64)
-    flat = (sy * W + sx)[ok]
-    np.maximum.at(winner, flat, np.arange(n)[ok])
+    for dx, dy in offsets:
+        qx, qy = sx + dx, sy + dy
+        okq = ok & (qx >= 0) & (qx < W) & (qy >= 0) & (qy < SH)
+        flat = (qy * W + qx)[okq]
+        np.maximum.at(winner, flat, np.arange(n)[okq])
 
     idx = winner.reshape(SH, W)
     occupied = idx >= 0
@@ -203,7 +221,8 @@ def render_points(pos, W: int, H: int, scheme: str = "mint",
     sx = ((x - cam.tx) * cam.zoom + W * 0.5).astype(np.int64)
     sy = ((y - cam.ty) * cam.zoom + SH * 0.5).astype(np.int64)
     return _raster_frame(n, sx, sy, np.ones(n, bool), x, y, None,
-                         W, H, scheme, color)
+                         W, H, scheme, color,
+                         offsets=_splat_offsets(cam.zoom))
 
 
 def render_points_3d(pos, W: int, H: int, scheme: str = "mint",

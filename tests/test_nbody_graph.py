@@ -140,3 +140,25 @@ def test_sharded_nbody_matches_single_chip():
     scale = float(np.abs(np.asarray(ref.pos)).max())
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
                                atol=2e-5 * scale)
+
+
+def test_render_points_zoom_lod():
+    """Zoom-LOD point sizing (number_fluid2d.c:738-760): a zoomed-in
+    camera splats points as 2x2 blocks then discs, so an isolated point
+    covers more cells at higher zoom; auto-fit stays single-subpixel."""
+    from fluidsims_tpu.render.points import (Camera2D, _splat_offsets,
+                                             render_points)
+
+    assert _splat_offsets(1.0) == ((0, 0),)
+    assert len(_splat_offsets(2.0)) == 4
+    assert len(_splat_offsets(20.0)) > 4   # disc of radius 7
+
+    pos = np.asarray([[0.0, 0.0], [100.0, 0.0]])
+
+    def lit(zoom):
+        f = render_points(pos, W=40, H=20, color=False,
+                          camera=Camera2D(tx=0.0, ty=0.0, zoom=zoom))
+        return sum(ch != " " for ch in f if ch not in "\n")
+
+    assert lit(1.0) <= 2          # two single-subpixel points
+    assert lit(6.0) > lit(1.0)    # disc splat covers more cells
