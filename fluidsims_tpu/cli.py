@@ -414,17 +414,18 @@ def cmd_lbm(args):
 
         from .core.interactive import interactive_loop
 
-        box = {"cfg": cfg}
+        box = {"cfg": cfg, "drive": cfg.drive}
 
         def make_runner():
             c = box["cfg"]
-            return jax.jit(lambda st, n: lbm.run(c, st, n), static_argnums=1)
+            irun = jax.jit(lambda st, n, d: lbm.run(c, st, n, drive=d),
+                           static_argnums=1)
+            return lambda st, n: irun(st, n, box["drive"])
 
         def drive(mult):
+            # traced-scalar nudge: no recompile (cf. tau_lbm.cu's instant keys)
             def h(ctx):
-                box["cfg"] = _rep(box["cfg"],
-                                  drive=box["cfg"].drive * mult)
-                ctx.invalidate()
+                box["drive"] *= mult
             return h
 
         def toggle_obstacle(ctx):
@@ -447,7 +448,7 @@ def cmd_lbm(args):
             s, make_runner, iframe, keys, stride=max(args.stride, 1),
             max_steps=args.steps,
             status_fn=lambda ctx: (
-                f"drive={box['cfg'].drive:.4f} "
+                f"drive={box['drive']:.2e} "
                 f"obstacle={box['cfg'].obstacle}"))
         return
 
@@ -829,13 +830,15 @@ def cmd_sph(args):
     if args.interactive:
         # reference key set (tau_sph.cu:622-657): p pause, SPACE step-once,
         # r reset, g gravity, v viscosity, =/- smoothing length, ]/[ c0,
-        # >/< dTau — the nudges rebuild the jitted runner (the analog of
-        # ensure_cell_buffers re-deriving the cell grid)
+        # >/< dTau.  h/c0/grav/visc nudges rebuild the jitted runner (the
+        # analog of ensure_cell_buffers re-deriving the cell grid); dTau
+        # only enters the clock math, so it rides as a traced scalar with
+        # no recompile (the reference's instant keys).
         from dataclasses import replace as _rep
 
         from .core.interactive import interactive_loop
 
-        box = {"cfg": cfg}
+        box = {"cfg": cfg, "dtau": cfg.dtau}
 
         def nudge(**field_factors):
             def h(ctx):
@@ -846,9 +849,16 @@ def cmd_sph(args):
                 ctx.invalidate()
             return h
 
+        def nudge_dtau(mult):
+            def h(ctx):
+                box["dtau"] *= mult
+            return h
+
         def make_runner():
             c = box["cfg"]
-            return jax.jit(lambda st, n: sph.run(c, st, n), static_argnums=1)
+            irun = jax.jit(lambda st, n, d: sph.run(c, st, n, dtau=d),
+                           static_argnums=1)
+            return lambda st, n: irun(st, n, box["dtau"])
 
         keys = {
             "p": ("pause", lambda ctx: setattr(ctx, "paused",
@@ -862,15 +872,15 @@ def cmd_sph(args):
             "-": ("h-", nudge(h_mul=0.95)),
             "]": ("c0+", nudge(c0=1.05)),
             "[": ("c0-", nudge(c0=0.95)),
-            ">": ("dTau+", nudge(dtau=1.2)),
-            "<": ("dTau-", nudge(dtau=1 / 1.2)),
+            ">": ("dTau+", nudge_dtau(1.2)),
+            "<": ("dTau-", nudge_dtau(1 / 1.2)),
         }
         interactive_loop(
             s, make_runner, frame, keys, stride=max(args.stride, 1),
             max_steps=args.steps,
             status_fn=lambda ctx: (
                 f"t={float(ctx.state.t):.3f} h={box['cfg'].h:.4f} "
-                f"c0={box['cfg'].c0:.2f} dTau={box['cfg'].dtau:.3f} "
+                f"c0={box['cfg'].c0:.2f} dTau={box['dtau']:.3f} "
                 f"grav={box['cfg'].use_grav} visc={box['cfg'].use_visc}"))
         return
 
@@ -903,22 +913,21 @@ def cmd_flip(args):
         return render_ramp(np.asarray(st.density)[::-1].astype(float))
 
     if args.interactive:
-        # flip/apic blend nudges re-derive the jitted runner (cfg-baked
-        # scalars), like the reference re-deriving on CLI options
-        from dataclasses import replace as _rep
-
-        box = {"cfg": cfg}
+        # flip/apic blend nudges ride as traced scalars: no recompile
+        # (solvers/flip_apic.step routes them through the cell-dense
+        # engine, bitwise-equal to the Pallas one)
+        box = {"cfg": cfg, "flip": cfg.flip, "apic": cfg.apic}
 
         def make_runner():
             c = box["cfg"]
-            return jax.jit(lambda st, n: fa.run(c, st, n), static_argnums=1)
+            irun = jax.jit(
+                lambda st, n, f, a: fa.run(c, st, n, flip=f, apic=a),
+                static_argnums=1)
+            return lambda st, n: irun(st, n, box["flip"], box["apic"])
 
         def blend(field, d):
             def h(ctx):
-                c = box["cfg"]
-                box["cfg"] = _rep(c, **{field: min(max(
-                    getattr(c, field) + d, 0.0), 1.0)})
-                ctx.invalidate()
+                box[field] = min(max(box[field] + d, 0.0), 1.0)
             return h
 
         _basic_interactive(
@@ -930,8 +939,8 @@ def cmd_flip(args):
                 "a": ("apic-", blend("apic", -0.05)),
                 "A": ("apic+", blend("apic", 0.05)),
             },
-            status_fn=lambda ctx: (f"flip={box['cfg'].flip:.2f} "
-                                   f"apic={box['cfg'].apic:.2f}"))
+            status_fn=lambda ctx: (f"flip={box['flip']:.2f} "
+                                   f"apic={box['apic']:.2f}"))
         return
 
     out = _run_headless(run, s, args.steps, "flip-apic", args=args,

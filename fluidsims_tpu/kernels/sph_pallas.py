@@ -327,9 +327,9 @@ def make_step_pallas(cfg: sph_mod.SPHConfig, interpret: bool = False):
         vel = jnp.where(ok[:, None], vel2, veld)
         return pos, vel
 
-    def step(st: sph_mod.SPHState) -> sph_mod.SPHState:
+    def step(st: sph_mod.SPHState, dtau=None) -> sph_mod.SPHState:
         Ksub = cfg.visc_substeps
-        dt_try = st.t * cfg.dtau
+        dt_try = st.t * (cfg.dtau if dtau is None else dtau)
         dt_cfl = cfg.cfl * cfg.h / (cfg.c0 * (1.0 + 2.0 * cfg.visc_alpha))
         dt_sub = jnp.minimum(dt_try, dt_cfl) / Ksub
 

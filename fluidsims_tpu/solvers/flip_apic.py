@@ -117,10 +117,11 @@ def _w1(x):
     return jnp.where(ax < 1.0, 1.0 - ax, 0.0)
 
 
-def _p2g(cfg, pos, vel, ax, ay):
+def _p2g(cfg, pos, vel, ax, ay, apic=None):
     """Particle-to-grid mass/momentum transfer (k_p2g, :105-131): the CUDA
     atomicAdd becomes 9 masked scatter-adds."""
     n = cfg.grid
+    apic = cfg.apic if apic is None else apic
     gx = pos[:, 0] * (n - 1)
     gy = pos[:, 1] * (n - 1)
     base_x = jnp.floor(gx).astype(jnp.int32)
@@ -139,8 +140,8 @@ def _p2g(cfg, pos, vel, ax, ay):
             wt = wx * wy
             rx = (i - gx) / (n - 1)
             ry = (j - gy) / (n - 1)
-            vvx = vel[:, 0] + cfg.apic * (ax[:, 0] * rx + ay[:, 0] * ry)
-            vvy = vel[:, 1] + cfg.apic * (ax[:, 1] * rx + ay[:, 1] * ry)
+            vvx = vel[:, 0] + apic * (ax[:, 0] * rx + ay[:, 0] * ry)
+            vvy = vel[:, 1] + apic * (ax[:, 1] * rx + ay[:, 1] * ry)
             flat = j * n + i
             ok = wt > 0.0
             flat = jnp.where(ok, flat, n * n)
@@ -224,11 +225,12 @@ def _grid_phase(cfg, mass, u, v):
 
 
 def _step_scatter(cfg: FlipApicConfig, s: FlipApicState,
-                  grid_reduce=None) -> FlipApicState:
+                  grid_reduce=None, flip=None, apic=None) -> FlipApicState:
     n = cfg.grid
     dt = cfg.dt
+    flip = cfg.flip if flip is None else flip
 
-    mass, u, v = _p2g(cfg, s.pos, s.vel, s.affine_x, s.affine_y)
+    mass, u, v = _p2g(cfg, s.pos, s.vel, s.affine_x, s.affine_y, apic=apic)
     if grid_reduce is not None:
         mass, u, v = grid_reduce((mass, u, v))
     u_prev, v_prev, u_proj, v_proj = _grid_phase(cfg, mass, u, v)
@@ -239,8 +241,8 @@ def _step_scatter(cfg: FlipApicConfig, s: FlipApicState,
     old_u, old_v = _sample(u_prev, v_prev, px, py, n)
     flip_u = s.vel[:, 0] + new_u - old_u
     flip_v = s.vel[:, 1] + new_v - old_v
-    vel_x = (1 - cfg.flip) * new_u + cfg.flip * flip_u
-    vel_y = (1 - cfg.flip) * new_v + cfg.flip * flip_v
+    vel_x = (1 - flip) * new_u + flip * flip_u
+    vel_y = (1 - flip) * new_v + flip * flip_v
 
     h = 1.0 / (n - 1)
     ux1, vx1 = _sample(u_proj, v_proj, px + h, py, n)
@@ -286,7 +288,8 @@ def _gshift(a, oy: int, ox: int):
 
 
 def _dense_transfers(cfg, dgx, dgy, dvx, dvy, dax, day, dpx, dpy,
-                     cxp, cxm, cyp, cym, occf, grid_reduce=None):
+                     cxp, cxm, cyp, cym, occf, grid_reduce=None,
+                     flip=None, apic=None):
     """P2G -> grid phase -> G2P -> advection on the cell-dense (n, n, K)
     layout, shared by the scatter-built engine (_step_dense) and the
     resident-slab engine (solvers/flip_resident.py).  All inputs are
@@ -298,6 +301,8 @@ def _dense_transfers(cfg, dgx, dgy, dvx, dvy, dax, day, dpx, dpy,
     dtype = dgx.dtype
     K = dgx.shape[-1]
     h = 1.0 / (n - 1)
+    flip = cfg.flip if flip is None else flip
+    apic = cfg.apic if apic is None else apic
 
     ix = lax.broadcasted_iota(jnp.int32, (n, n, K), 1).astype(dtype)
     iy = lax.broadcasted_iota(jnp.int32, (n, n, K), 0).astype(dtype)
@@ -318,8 +323,8 @@ def _dense_transfers(cfg, dgx, dgy, dvx, dvy, dax, day, dpx, dpy,
             it = ix + ox
             wt = _w1(dgx - it) * (mx0 if ox == 0 else 1.0) * wy * occf
             rx = (it - dgx) / (n - 1)
-            vvx = dvx + cfg.apic * (dax[..., 0] * rx + day[..., 0] * ry)
-            vvy = dvy + cfg.apic * (dax[..., 1] * rx + day[..., 1] * ry)
+            vvx = dvx + apic * (dax[..., 0] * rx + day[..., 0] * ry)
+            vvy = dvy + apic * (dax[..., 1] * rx + day[..., 1] * ry)
             mass = mass + _gshift(jnp.sum(wt, -1), -oy, -ox)
             mom_u = mom_u + _gshift(jnp.sum(wt * vvx, -1), -oy, -ox)
             mom_v = mom_v + _gshift(jnp.sum(wt * vvy, -1), -oy, -ox)
@@ -358,8 +363,8 @@ def _dense_transfers(cfg, dgx, dgy, dvx, dvy, dax, day, dpx, dpy,
     old_u, old_v = sample(u_prev, v_prev, cgx, cgy, C, C)
     flip_u = dvx + new_u - old_u
     flip_v = dvy + new_v - old_v
-    vel_x = (1 - cfg.flip) * new_u + cfg.flip * flip_u
-    vel_y = (1 - cfg.flip) * new_v + cfg.flip * flip_v
+    vel_x = (1 - flip) * new_u + flip * flip_u
+    vel_y = (1 - flip) * new_v + flip * flip_v
 
     ux1, vx1 = sample(u_proj, v_proj, cxp, cgy, W, C)
     ux0, vx0 = sample(u_proj, v_proj, cxm, cgy, W, C)
@@ -385,7 +390,7 @@ def _dense_transfers(cfg, dgx, dgy, dvx, dvy, dax, day, dpx, dpy,
 
 
 def _step_dense(cfg: FlipApicConfig, s: FlipApicState,
-                grid_reduce=None) -> FlipApicState:
+                grid_reduce=None, flip=None, apic=None) -> FlipApicState:
     """Cell-dense engine: bin once, transfers via dense sums + static
     shifts (module docstring).  `grid_reduce` (e.g. lax.psum over a mesh
     axis) merges per-device partial P2G transfers and density rasters —
@@ -424,7 +429,7 @@ def _step_dense(cfg: FlipApicConfig, s: FlipApicState,
         cfg, dall[..., 0], dall[..., 1], dall[..., 2], dall[..., 3],
         dall[..., 4:6], dall[..., 6:8], dall[..., 8], dall[..., 9],
         dall[..., 10], dall[..., 11], dall[..., 12], dall[..., 13],
-        occf, grid_reduce)
+        occf, grid_reduce, flip=flip, apic=apic)
 
     # back to particle order with ONE stacked gather (dropped/overflow
     # particles keep their previous state)
@@ -468,8 +473,15 @@ def resolve_engine(cfg: FlipApicConfig) -> str:
 
 
 def step(cfg: FlipApicConfig, s: FlipApicState,
-         grid_reduce=None) -> FlipApicState:
+         grid_reduce=None, flip=None, apic=None) -> FlipApicState:
+    """`flip`/`apic` optionally override the config blend factors as traced
+    scalars so the interactive F/A nudges run without a recompile (the
+    reference's instant keys, tau_flip_apic.cu).  The Pallas engine bakes
+    them into kernel bodies, so a live override routes through the
+    bitwise-equal cell-dense engine instead."""
     eng = resolve_engine(cfg)
+    if eng == "pallas" and (flip is not None or apic is not None):
+        eng = "dense"
     if eng == "pallas":
         import jax
 
@@ -479,8 +491,8 @@ def step(cfg: FlipApicConfig, s: FlipApicState,
             cfg, interpret=jax.default_backend() != "tpu")(
                 s, grid_reduce=grid_reduce)
     if eng == "dense":
-        return _step_dense(cfg, s, grid_reduce)
-    return _step_scatter(cfg, s, grid_reduce)
+        return _step_dense(cfg, s, grid_reduce, flip=flip, apic=apic)
+    return _step_scatter(cfg, s, grid_reduce, flip=flip, apic=apic)
 
 
 def density_grid(s: FlipApicState):
@@ -504,7 +516,9 @@ def overflow_count(cfg: FlipApicConfig, s: FlipApicState):
     return cd.bin_particles(grid, s.pos, cid=byp * n + bxp).overflow
 
 
-def run(cfg: FlipApicConfig, s: FlipApicState, n_steps: int) -> FlipApicState:
+def run(cfg: FlipApicConfig, s: FlipApicState, n_steps: int,
+        flip=None, apic=None) -> FlipApicState:
     from ..core.stepper import scan_steps
 
-    return scan_steps(lambda st: step(cfg, st), s, n_steps)
+    return scan_steps(lambda st: step(cfg, st, flip=flip, apic=apic),
+                      s, n_steps)

@@ -106,13 +106,16 @@ def macroscopic(f):
     return rho, ux / rho, uy / rho
 
 
-def step(cfg: LBMConfig, s: LBMState) -> LBMState:
-    """Fused collide + stream, pull formulation (see module docstring)."""
+def step(cfg: LBMConfig, s: LBMState, drive=None) -> LBMState:
+    """Fused collide + stream, pull formulation (see module docstring).
+
+    `drive` optionally overrides cfg.drive as a traced scalar so the
+    interactive +/- nudges (tau_lbm.cu:281-286) do not recompile."""
     f, solid = s.f, s.solid
     ny = cfg.ny
 
     rho, ux, uy = macroscopic(f)
-    ux = ux + cfg.drive
+    ux = ux + (cfg.drive if drive is None else drive)
     omega = 1.0 / cfg.tau
 
     post = [f[q] - omega * (f[q] - feq(q, rho, ux, uy)) for q in range(9)]
@@ -148,7 +151,7 @@ def speed_field(cfg: LBMConfig, s: LBMState):
     return jnp.where(s.solid, -1.0, sp)
 
 
-def run(cfg: LBMConfig, s: LBMState, n_steps: int) -> LBMState:
+def run(cfg: LBMConfig, s: LBMState, n_steps: int, drive=None) -> LBMState:
     from ..core.stepper import scan_steps
 
-    return scan_steps(lambda st: step(cfg, st), s, n_steps)
+    return scan_steps(lambda st: step(cfg, st, drive=drive), s, n_steps)

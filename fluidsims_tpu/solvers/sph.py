@@ -392,18 +392,24 @@ def resolve_engine(cfg: SPHConfig) -> str:
             else "xla")
 
 
-def step(cfg: SPHConfig, st: SPHState) -> SPHState:
-    """One frame step, on the engine picked by `resolve_engine`."""
+def step(cfg: SPHConfig, st: SPHState, dtau=None) -> SPHState:
+    """One frame step, on the engine picked by `resolve_engine`.
+
+    `dtau` optionally overrides cfg.dtau as a traced scalar (it only enters
+    the frame-level clock math, never a kernel body), so the interactive
+    >/< nudges run without a recompile — the analog of tau_sph.cu:642-655's
+    instant keys."""
     if resolve_engine(cfg) == "exact":
-        return _step_exact(cfg, st)
+        return _step_exact(cfg, st, dtau=dtau)
     if resolve_engine(cfg) == "pallas":
         import jax
 
         from ..kernels.sph_pallas import make_step_pallas
 
         # off-TPU an explicit engine='pallas' runs interpreted (for tests)
-        return make_step_pallas(cfg, interpret=jax.default_backend() != "tpu")(st)
-    return _step_xla(cfg, st)
+        return make_step_pallas(
+            cfg, interpret=jax.default_backend() != "tpu")(st, dtau=dtau)
+    return _step_xla(cfg, st, dtau=dtau)
 
 
 _EXACT_FAR = 1.0e4   # pad particles parked far outside the box
@@ -527,10 +533,10 @@ def _exact_xsph(cfg, pos, vel, rho, chunk=1024):
     return cfg.xsph_eps * dv[:pos.shape[0]]
 
 
-def _step_exact(cfg: SPHConfig, st: SPHState) -> SPHState:
+def _step_exact(cfg: SPHConfig, st: SPHState, dtau=None) -> SPHState:
     """_step_xla with the neighbor sums exact (all pairs, no capacity)."""
     K = cfg.visc_substeps
-    dt_try = st.t * cfg.dtau
+    dt_try = st.t * (cfg.dtau if dtau is None else dtau)
     dt_cfl = cfg.cfl * cfg.h / (cfg.c0 * (1.0 + 2.0 * cfg.visc_alpha))
     dt_sub = jnp.minimum(dt_try, dt_cfl) / K
 
@@ -559,12 +565,12 @@ def _step_exact(cfg: SPHConfig, st: SPHState) -> SPHState:
                     rain_carry=rain_carry, step_idx=st.step_idx + 1)
 
 
-def _step_xla(cfg: SPHConfig, st: SPHState) -> SPHState:
+def _step_xla(cfg: SPHConfig, st: SPHState, dtau=None) -> SPHState:
     """One frame step = K substeps of build-cells -> density -> forces ->
     integrate -> (xsph) -> (rain), with τ bookkeeping per substep
     (main loop, tau_sph.cu:659-722)."""
     K = cfg.visc_substeps
-    dt_try = st.t * cfg.dtau
+    dt_try = st.t * (cfg.dtau if dtau is None else dtau)
     dt_cfl = cfg.cfl * cfg.h / (cfg.c0 * (1.0 + 2.0 * cfg.visc_alpha))
     dt_eff = jnp.minimum(dt_try, dt_cfl)
     dt_sub = dt_eff / K
@@ -606,10 +612,10 @@ def _step_xla(cfg: SPHConfig, st: SPHState) -> SPHState:
     )
 
 
-def run(cfg: SPHConfig, st: SPHState, n_steps: int) -> SPHState:
+def run(cfg: SPHConfig, st: SPHState, n_steps: int, dtau=None) -> SPHState:
     from ..core.stepper import scan_steps
 
-    return scan_steps(lambda s: step(cfg, s), st, n_steps)
+    return scan_steps(lambda s: step(cfg, s, dtau=dtau), st, n_steps)
 
 
 def make_split_stepper(cfg: SPHConfig):

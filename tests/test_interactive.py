@@ -177,3 +177,36 @@ def test_cli_interactive_everywhere_smoke(capsys):
         out = capsys.readouterr().out
         assert "step 2" in out, argv[0]
         assert marker in out, argv[0]
+
+
+def test_traced_nudges_match_baked_config():
+    """Shape-preserving scalar nudges ride as traced jit arguments (no
+    recompile — the analog of the reference's instant keys, e.g.
+    tau_sph.cu:642-655): overriding at call time must equal baking the
+    same value into the config."""
+    from dataclasses import replace
+
+    from fluidsims_tpu.solvers import flip_apic as fa
+    from fluidsims_tpu.solvers import lbm, sph
+
+    # LBM drive
+    cfg = lbm.LBMConfig(nx=32, ny=16)
+    s = lbm.init(cfg)
+    a = lbm.run(replace(cfg, drive=3e-6), s, 3)
+    b = lbm.run(cfg, s, 3, drive=3e-6)
+    assert np.array_equal(np.asarray(a.f), np.asarray(b.f))
+
+    # SPH dtau (clock-level scalar; any engine)
+    scfg = sph.SPHConfig(n=128, rain=False, engine="xla")
+    ss = sph.init(scfg)
+    sa = sph.run(replace(scfg, dtau=0.02), ss, 2)
+    sb = sph.run(scfg, ss, 2, dtau=0.02)
+    assert np.array_equal(np.asarray(sa.pos), np.asarray(sb.pos))
+
+    # FLIP flip/apic blend factors (dense engine)
+    fcfg = fa.FlipApicConfig(particles=256, grid=24, engine="dense")
+    fs = fa.init(fcfg)
+    faa = fa.run(replace(fcfg, flip=0.5, apic=0.3), fs, 2)
+    fab = fa.run(fcfg, fs, 2, flip=0.5, apic=0.3)
+    assert np.array_equal(np.asarray(faa.pos), np.asarray(fab.pos))
+    assert np.array_equal(np.asarray(faa.vel), np.asarray(fab.vel))
