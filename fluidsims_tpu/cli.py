@@ -590,8 +590,6 @@ def cmd_hypersonic3d(args):
         # reference key set (tau_hypersonic_3d_cuda.cu:1645-1672): SPACE
         # pause, M view cycle, L log scale, R reset, -/= inflow gain
         # nudge (a runtime scan argument — no recompile), [/] z-slice
-        from .core.interactive import interactive_loop
-
         gain_run = jax.jit(
             lambda st, n, g: h3.run(cfg, st, n, gain_mul=g),
             static_argnums=1)
@@ -608,23 +606,18 @@ def cmd_hypersonic3d(args):
                 box["a_gain"] = min(max(box["a_gain"] * f, lo), hi)
             return h
 
-        keys = {
-            "p": ("pause", lambda ctx: setattr(ctx, "paused",
-                                               not ctx.paused)),
-            " ": ("step", lambda ctx: setattr(ctx, "step_once", True)),
-            "m": ("view", cycle_view),
-            "l": ("log", lambda ctx: box.update(log=not box["log"])),
-            "r": ("reset", lambda ctx: setattr(ctx, "state", h3.init(cfg))),
-            "-": ("gain-", gain(0.85, 0.05, 2.0)),
-            "=": ("gain+", gain(1.18, 0.05, 2.0)),
-            "[": ("slice-", lambda ctx: box.update(
-                zslice=(box["zslice"] - 1) % cfg.nz)),
-            "]": ("slice+", lambda ctx: box.update(
-                zslice=(box["zslice"] + 1) % cfg.nz)),
-        }
-        interactive_loop(
-            s, make_runner, frame, keys, stride=max(args.stride, 1),
-            max_steps=args.steps or None,
+        _basic_interactive(
+            args, s, make_runner, frame, lambda: h3.init(cfg),
+            extra_keys={
+                "m": ("view", cycle_view),
+                "l": ("log", lambda ctx: box.update(log=not box["log"])),
+                "-": ("gain-", gain(0.85, 0.05, 2.0)),
+                "=": ("gain+", gain(1.18, 0.05, 2.0)),
+                "[": ("slice-", lambda ctx: box.update(
+                    zslice=(box["zslice"] - 1) % cfg.nz)),
+                "]": ("slice+", lambda ctx: box.update(
+                    zslice=(box["zslice"] + 1) % cfg.nz)),
+            },
             status_fn=lambda ctx: (
                 f"t={float(ctx.state.t):.4f} view={box['view']}"
                 f"{' log' if box['log'] else ''} z={box['zslice']} "
@@ -747,12 +740,12 @@ def cmd_stam2d(args):
                         rgb_fn=lambda st: jet(
                             np.clip(np.asarray(st.d), 0, 1)))
     if stam2d.resolve_engine(cfg) == "pallas":
-        over = int(stam2d.advect_overflow_count(cfg, out))
+        over = int(out.ovf)   # cumulative across ALL frames (state.ovf)
         if over:
-            print(f"WARNING: {over} cells exceeded the advect_band="
-                  f"{cfg.advect_band} backtrace band on the final frame "
-                  "(clamped); raise --advect-band or use --engine xla for "
-                  "the exact gather path", file=sys.stderr)
+            print(f"WARNING: {over} cell-advections exceeded the "
+                  f"advect_band={cfg.advect_band} backtrace band over the "
+                  "run (clamped); raise --advect-band or use --engine xla "
+                  "for the exact gather path", file=sys.stderr)
     if not args.stride:
         _maybe_render(args, frame(out))
 
@@ -1202,7 +1195,10 @@ def cmd_nbody(args):
     cfg = ng.GraphLayoutConfig(max_number=args.max_number, dims=args.dims,
                                grid_res=args.grid_res, engine=args.engine,
                                dtype=args.dtype)
-    if args.render and (args.interactive or args.stride):
+    # --interactive runs until 'q'; --stride alone animates but must stay
+    # bounded (a scripted `--stride N --steps 0` run would otherwise wait
+    # forever for a keypress)
+    if args.render and (args.interactive or (args.stride and args.steps)):
         _nbody_live(args, cfg)
         return
     if args.native:

@@ -27,6 +27,12 @@ def save_state(path, state) -> None:
     payload["__treedef__"] = np.frombuffer(
         json.dumps(str(treedef)).encode(), dtype=np.uint8
     )
+    # version-independent identity: the state class name survives JAX
+    # upgrades that reword the treedef repr, so a wrong-solver checkpoint
+    # with coincidentally matching leaf shapes still fails loudly
+    payload["__state_class__"] = np.frombuffer(
+        type(state).__name__.encode(), dtype=np.uint8
+    )
     np.savez_compressed(path, **payload)
 
 
@@ -36,6 +42,14 @@ def load_state(path, like) -> object:
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves)
+    if "__state_class__" in data:
+        saved_cls = bytes(data["__state_class__"]).decode()
+        if saved_cls != type(like).__name__:
+            raise ValueError(
+                f"checkpoint holds a {saved_cls} state but the template is "
+                f"{type(like).__name__} — refusing to resume a different "
+                "solver's checkpoint"
+            )
     if "__treedef__" in data:
         # treedef repr is not a stable serialization across JAX versions, so
         # a string mismatch alone is only a warning; the authoritative checks

@@ -62,7 +62,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import cell_dense as cd
 from ..solvers import flip_apic as fa
 from ..solvers.flip_apic import _gshift, _w1
-from .spatial_common import compact as _compact, make_halo_ops
+from .spatial_common import compact as _compact, make_halo_ops, migrate
 
 __all__ = ["SpatialFlipState", "shard_state", "make_sharded_run",
            "gather_state"]
@@ -161,9 +161,6 @@ def _local_steps(cfg, axis, n_dev, n_steps, P_cap, mig_cap,
     h = 1.0 / (n - 1)
     d = lax.axis_index(axis)
     x0 = d * W                      # first owned grid/cell column
-
-    fwd = [(i, i + 1) for i in range(n_dev - 1)]   # send up (d -> d+1)
-    bwd = [(i + 1, i) for i in range(n_dev - 1)]   # send down
 
     # global coordinates of the local columns (pads included)
     gcol = x0 - _H + jnp.arange(Wp)                 # (Wp,) global grid col
@@ -343,30 +340,17 @@ def _local_steps(cfg, axis, n_dev, n_steps, P_cap, mig_cap,
         bx_new = jnp.clip(jnp.floor(out[:, 0] * (n - 1)).astype(jnp.int32),
                           0, n - 1)
         owner = bx_new // W
-        delta = jnp.clip(jnp.where(alive, owner - d, 0), -1, 1)
         payload = jnp.concatenate(
             [out, ids[:, None].astype(dtype)], axis=1)
         fill9 = jnp.asarray([_SENT, _SENT, 0, 0, 0, 0, 0, 0, -1], dtype)
-
-        up_buf, lost_u = _compact(payload, delta == 1, mig_cap, fill9)
-        dn_buf, lost_d = _compact(payload, delta == -1, mig_cap, fill9)
-        got_up = jnp.where(d == 0, fill9, lax.ppermute(up_buf, axis, fwd))
-        got_dn = jnp.where(d == n_dev - 1, fill9,
-                           lax.ppermute(dn_buf, axis, bwd))
-
-        keep_buf, lost_k = _compact(payload, delta == 0, P_cap, fill9)
-        merged = jnp.concatenate([keep_buf, got_up, got_dn])
-        m_alive = merged[:, 8] >= 0.0
-        final, lost_m = _compact(merged, m_alive, P_cap, fill9)
+        final, ids, lost_delta = migrate(
+            payload, owner, alive, axis=axis, d=d, n_dev=n_dev,
+            mig_cap=mig_cap, p_cap=P_cap, fill_row=fill9)
         pos = final[:, 0:2]
         vel = final[:, 2:4]
         ax = final[:, 4:6]
         ay = final[:, 6:8]
-        n_alive = jnp.sum(m_alive.astype(jnp.int32))
-        ids = jnp.where(jnp.arange(P_cap) < n_alive,
-                        final[:, 8].astype(jnp.int32), -1)
-        lost = (lost + lax.psum(lost_u + lost_d + lost_k + lost_m,
-                                axis)).astype(jnp.int32)
+        lost = (lost + lost_delta).astype(jnp.int32)
 
         # ---- density raster on owned columns (k_g2p raster analog) ----
         a2 = ids >= 0

@@ -56,7 +56,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import cell_dense as cd
 from ..solvers import mpm
 from ..solvers.mpm import MATERIALS, _bspline_w, _plastic_and_stress
-from .spatial_common import compact as _compact, make_halo_ops
+from .spatial_common import compact as _compact, make_halo_ops, migrate
 
 __all__ = ["SpatialMPMState", "shard_state", "make_sharded_run",
            "gather_state"]
@@ -297,9 +297,6 @@ def _local_steps(cfg, axis, n_dev, n_steps, P_cap, mig_cap,
         old = jnp.concatenate([pos, vel, F4, Jp[:, None]], -1)
         return jnp.where(ok[:, None], got, old)
 
-    fwd = [(i, i + 1) for i in range(n_dev - 1)]   # send up (d -> d+1)
-    bwd = [(i + 1, i) for i in range(n_dev - 1)]   # send down
-
     def one(carry, _):
         pos, vel, F4, Jp, ids, lost = carry
         alive = ids >= 0
@@ -310,31 +307,18 @@ def _local_steps(cfg, axis, n_dev, n_steps, P_cap, mig_cap,
             jnp.floor(out[:, 0] * (1.0 / dx) - 0.5).astype(jnp.int32),
             0, Gx - 1)
         owner = bx_new // W
-        delta = jnp.clip(jnp.where(alive, owner - d, 0), -1, 1)
         payload = jnp.concatenate(
             [out, ids[:, None].astype(dtype)], axis=1)   # (P_cap, 10)
         fill10 = jnp.asarray(
             [_SENT, _SENT, 0, 0, 1, 0, 0, 1, 1, -1], dtype)
-
-        up_buf, lost_u = _compact(payload, delta == 1, mig_cap, fill10)
-        dn_buf, lost_d = _compact(payload, delta == -1, mig_cap, fill10)
-        got_up = jnp.where(d == 0, fill10, lax.ppermute(up_buf, axis, fwd))
-        got_dn = jnp.where(d == n_dev - 1, fill10,
-                           lax.ppermute(dn_buf, axis, bwd))
-
-        keep_buf, lost_k = _compact(payload, delta == 0, P_cap, fill10)
-        merged = jnp.concatenate([keep_buf, got_up, got_dn])
-        m_alive = merged[:, 9] >= 0.0
-        final, lost_m = _compact(merged, m_alive, P_cap, fill10)
+        final, ids, lost_delta = migrate(
+            payload, owner, alive, axis=axis, d=d, n_dev=n_dev,
+            mig_cap=mig_cap, p_cap=P_cap, fill_row=fill10)
         pos = final[:, 0:2]
         vel = final[:, 2:4]
         F4 = final[:, 4:8]
         Jp = final[:, 8]
-        n_alive = jnp.sum(m_alive.astype(jnp.int32))
-        ids = jnp.where(jnp.arange(P_cap) < n_alive,
-                        final[:, 9].astype(jnp.int32), -1)
-        lost = (lost + lax.psum(lost_u + lost_d + lost_k + lost_m,
-                                axis)).astype(jnp.int32)
+        lost = (lost + lost_delta).astype(jnp.int32)
         return (pos, vel, F4, Jp, ids, lost), None
 
     carry, _ = lax.scan(one, (pos, vel, F4, Jp, ids, lost), None,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["compact", "make_halo_ops"]
+__all__ = ["compact", "make_halo_ops", "migrate"]
 
 
 def compact(vals, keep, cap, fill_row):
@@ -68,3 +68,41 @@ def make_halo_ops(axis: str, n_dev: int, d, W: int, H: int):
                 + jnp.pad(from_above, side + [(W, H)]))
 
     return halo_fill, halo_reduce
+
+
+def migrate(payload, owner, alive, *, axis: str, d, n_dev: int,
+            mig_cap: int, p_cap: int, fill_row):
+    """Exchange boundary-crossing particles with the ±1 slab neighbors
+    and re-compact survivors to the buffer front — the migration step
+    shared verbatim by sph_spatial/flip_spatial/mpm_spatial.
+
+    payload   (P, C) rows with the particle id in the LAST column as a
+              float (-1 = dead slot)
+    owner     per-row owning device index from the new position
+    alive     id >= 0 for this row
+    Movers clip to ±1 slab per step (a faster straggler sits out this
+    exchange and re-migrates next step — tested conservation property).
+
+    Returns (final (p_cap, C), ids int32 (-1 beyond the live prefix),
+    lost_delta int32 — rows dropped this exchange, psum'd over `axis`).
+    """
+    delta = jnp.clip(jnp.where(alive, owner - d, 0), -1, 1)
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]   # send up (d -> d+1)
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]   # send down
+
+    up_buf, lost_u = compact(payload, delta == 1, mig_cap, fill_row)
+    dn_buf, lost_d = compact(payload, delta == -1, mig_cap, fill_row)
+    got_up = jnp.where(d == 0, fill_row, lax.ppermute(up_buf, axis, fwd))
+    got_dn = jnp.where(d == n_dev - 1, fill_row,
+                       lax.ppermute(dn_buf, axis, bwd))
+
+    keep_buf, lost_k = compact(payload, delta == 0, p_cap, fill_row)
+    merged = jnp.concatenate([keep_buf, got_up, got_dn])
+    m_alive = merged[:, -1] >= 0.0
+    final, lost_m = compact(merged, m_alive, p_cap, fill_row)
+    n_alive = jnp.sum(m_alive.astype(jnp.int32))
+    ids = jnp.where(jnp.arange(p_cap) < n_alive,
+                    final[:, -1].astype(jnp.int32), -1)
+    lost_delta = lax.psum(lost_u + lost_d + lost_k + lost_m,
+                          axis).astype(jnp.int32)
+    return final, ids, lost_delta

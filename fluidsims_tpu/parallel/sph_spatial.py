@@ -65,7 +65,7 @@ from typing import NamedTuple
 from ..kernels import sph_pallas as sp
 from ..ops import cell_dense as cd
 from ..solvers import sph as sph_mod
-from .spatial_common import compact as _compact
+from .spatial_common import compact as _compact, migrate
 
 __all__ = ["SpatialSPHState", "shard_state", "make_sharded_run",
            "gather_state"]
@@ -232,29 +232,15 @@ def _local_steps(cfg, axis, n_dev, n_steps, interpret, P_cap, mig_cap,
         # ---- migration: particles whose new column left this slab -----
         cid_new = cd._cid(grid, pos[:, ::-1])
         owner = cid_new // W
-        delta = jnp.clip(jnp.where(alive, owner - d, 0), -1, 1)
         payload = jnp.concatenate(
             [pos, vel, ids[:, None].astype(dtype)], axis=1)
         fill5 = jnp.concatenate([fill4, jnp.asarray([-1.0], dtype)])
-
-        up_buf, lost_u = _compact(payload, delta == 1, mig_cap, fill5)
-        dn_buf, lost_d = _compact(payload, delta == -1, mig_cap, fill5)
-        got_up = jnp.where(d == 0, fill5,
-                           lax.ppermute(up_buf, axis, fwd))
-        got_dn = jnp.where(d == n_dev - 1, fill5,
-                           lax.ppermute(dn_buf, axis, bwd))
-
-        keep_buf, lost_k = _compact(payload, delta == 0, P_cap, fill5)
-        merged = jnp.concatenate([keep_buf, got_up, got_dn])
-        m_alive = merged[:, 4] >= 0.0
-        final, lost_m = _compact(merged, m_alive, P_cap, fill5)
+        final, ids, lost_delta = migrate(
+            payload, owner, alive, axis=axis, d=d, n_dev=n_dev,
+            mig_cap=mig_cap, p_cap=P_cap, fill_row=fill5)
         pos = final[:, :2]
         vel = final[:, 2:4]
-        ids = final[:, 4].astype(jnp.int32)
-        ids = jnp.where(jnp.arange(P_cap) < jnp.sum(m_alive.astype(
-            jnp.int32)), ids, -1)
-        lost = (lost + lax.psum(lost_u + lost_d + lost_k + lost_m,
-                                axis)).astype(jnp.int32)
+        lost = (lost + lost_delta).astype(jnp.int32)
         return pos, vel, ids, lost
 
     def one(carry, _):

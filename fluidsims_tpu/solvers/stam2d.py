@@ -74,6 +74,8 @@ class Stam2DState(NamedTuple):
     d: jnp.ndarray   # of d_u0/d_v0/d_d0 buffers)
     d0: jnp.ndarray
     step_idx: jnp.ndarray  # drives the orbiting source phase
+    ovf: jnp.ndarray  # cumulative cells clamped by the pallas advect_band
+    #                   across ALL frames so far (0 on the exact xla path)
 
 
 def _eta(cfg, idx):
@@ -95,7 +97,8 @@ def init(cfg: Stam2DConfig) -> Stam2DState:
     dt = cfg.jax_dtype
     z = jnp.zeros((n, n), dt)
     s = Stam2DState(u=z, v=z, u0=z, v0=z, d=z, d0=z,
-                    step_idx=jnp.asarray(0, jnp.int32))
+                    step_idx=jnp.asarray(0, jnp.int32),
+                    ovf=jnp.asarray(0, jnp.int32))
     return _seed(cfg, s)
 
 
@@ -137,11 +140,6 @@ def _lin_solve(cfg, x, x0, a, c):
         return (x0 + a * _sum4(xk)) / c
 
     return lax.fori_loop(0, cfg.jacobi_iters, body, x)
-
-
-def _diffuse(cfg, x, x0, coeff):
-    a = cfg.dt * coeff * cfg.n * cfg.n
-    return _lin_solve(cfg, x, x0, a, 1.0 + 4.0 * a)
 
 
 def _advect(cfg, q0, uu, vv):
@@ -271,12 +269,26 @@ def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
         interp = jax.default_backend() != "tpu"
         adv = make_advect_pallas(cfg, interpret=interp)
         adv2 = make_advect_pallas(cfg, interpret=interp, n_fields=2)
-        advect = lambda q0, uu, vv: adv(q0, uu, vv)[0]  # noqa: E731
-        advect_pair = lambda qa, qb, uu, vv: adv2(qa, qb, uu, vv)[:2]  # noqa: E731
+        # accumulate each advection's band-overflow count so mid-run
+        # clamping is visible in the final state (state.ovf), not just
+        # on the last frame
+        frame_ovf = [jnp.asarray(0, jnp.int32)]
+
+        def advect(q0, uu, vv):
+            q, o = adv(q0, uu, vv)
+            frame_ovf[0] = frame_ovf[0] + o.astype(jnp.int32)
+            return q
+
+        def advect_pair(qa, qb, uu, vv):
+            ra, rb, o = adv2(qa, qb, uu, vv)
+            frame_ovf[0] = frame_ovf[0] + o.astype(jnp.int32)
+            return ra, rb
+
         solve = make_lin_solve_pallas(cfg.n, cfg.jacobi_iters,
                                       cfg.jax_dtype, interpret=interp)
         lin_solve = lambda x, b, a, c: solve(x, b, a, c)  # noqa: E731
     else:
+        frame_ovf = [jnp.asarray(0, jnp.int32)]  # xla gather is exact
         advect = lambda q0, uu, vv: _advect(cfg, q0, uu, vv)  # noqa: E731
         advect_pair = lambda qa, qb, uu, vv: (  # noqa: E731
             _advect(cfg, qa, uu, vv), _advect(cfg, qb, uu, vv))
@@ -301,7 +313,8 @@ def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
     d = advect(d0, u, v)
 
     return Stam2DState(u=u, v=v, u0=u0, v0=v0, d=d, d0=d0,
-                       step_idx=s.step_idx + 1)
+                       step_idx=s.step_idx + 1,
+                       ovf=s.ovf + frame_ovf[0])
 
 
 def run(cfg: Stam2DConfig, s: Stam2DState, n_steps: int) -> Stam2DState:
