@@ -94,3 +94,56 @@ def test_pull_matches_push_oracle_f64():
         s = step(s)
         orc.step()
     assert np.abs(np.asarray(s.f) - orc.f).max() < 1e-13
+
+
+def test_multistep_pallas_matches_xla():
+    """The K-step temporally-blocked kernel (one HBM round trip per K
+    steps; kernels/lbm_pallas.make_multistep_pallas) reproduces the XLA
+    pull step to f32 ulps — obstacle + walls exercised, non-multiple
+    remainder, and a traced drive override."""
+    from fluidsims_tpu.kernels.lbm_pallas import run_multistep
+
+    cfg = lbm.LBMConfig(nx=128, ny=64, drive=1e-4, obstacle=True,
+                        obstacle_radius=8.0)
+    s = lbm.init(cfg)
+    ref = s
+    for _ in range(19):
+        ref = lbm.step(cfg, ref)
+    out = run_multistep(cfg, s, 19, k=8, band=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.f), np.asarray(ref.f),
+                               atol=5e-6)
+
+    # traced drive rides in SMEM: same kernel, nudged parameter
+    ref2 = s
+    for _ in range(8):
+        ref2 = lbm.step(cfg, ref2, drive=3e-4)
+    out2 = run_multistep(cfg, s, 8, k=8, band=16, interpret=True,
+                         drive=3e-4)
+    np.testing.assert_allclose(np.asarray(out2.f), np.asarray(ref2.f),
+                               atol=5e-6)
+
+
+def test_multistep_single_superstep_exact_boundary():
+    """One k-step superstep with the ghost creep reaching the valid-region
+    boundary exactly (k == slab halo): a halo-geometry bug would leak O(1)
+    garbage into the edge rows, so a per-step-ulp tolerance pins it."""
+    from fluidsims_tpu.kernels.lbm_pallas import make_multistep_pallas
+
+    cfg = lbm.LBMConfig(nx=128, ny=64, drive=1e-4)
+    s = lbm.init(cfg)
+    ref = s
+    for _ in range(4):
+        ref = lbm.step(cfg, ref)
+    sup = make_multistep_pallas(cfg, k=4, band=16, interpret=True)
+    out = sup(s)
+    np.testing.assert_allclose(np.asarray(out.f), np.asarray(ref.f),
+                               atol=1e-6)
+
+
+def test_lbm_engine_validation():
+    import pytest
+
+    cfg = lbm.LBMConfig(nx=100, ny=64, engine="pallas")
+    with pytest.raises(ValueError):
+        lbm.resolve_engine(cfg)   # nx not a lane multiple
+    assert lbm.resolve_engine(lbm.LBMConfig(nx=100, ny=64)) == "xla"
