@@ -172,21 +172,26 @@ def _muscl_faces(q, axis: int):
     return q + sL, qp - sR
 
 
-def _rusanov_faces(cfg, phi_u, phi_v, axis: int):
-    """Rusanov (LLF) face fluxes for both components along one axis."""
+def _rusanov_faces(cfg, phi_u, phi_v, u, v, axis: int):
+    """Rusanov (LLF) face fluxes for both components along one axis.
+
+    `u`/`v` are the decoded velocities (sinh(phi)*u0), passed in so the
+    non-MUSCL path never re-decodes: sinh is elementwise and the face
+    shift is a permutation, so shift(sinh(phi)) == sinh(shift(phi))
+    BITWISE — reusing the step's one decode halves the transcendental
+    count of this transcendental-bound solver (BASELINE.md roofline:
+    the asinh codec, not the flux arithmetic, is the bound).  The MUSCL
+    path reconstructs on phi and must decode the reconstructed faces
+    (tau_burgers.cu:379-395 semantics)."""
     if cfg.muscl:
         pUL, pUR = _muscl_faces(phi_u, axis)
         pVL, pVR = _muscl_faces(phi_v, axis)
+        uL, vL = _decode(cfg, pUL), _decode(cfg, pVL)
+        uR, vR = _decode(cfg, pUR), _decode(cfg, pVR)
     else:
-        pUL, pUR = phi_u, (
-            shift_wrapped(phi_u, 0, 1) if axis == 0 else shift_wrapped(phi_u, 1, 0)
-        )
-        pVL, pVR = phi_v, (
-            shift_wrapped(phi_v, 0, 1) if axis == 0 else shift_wrapped(phi_v, 1, 0)
-        )
-
-    uL, vL = _decode(cfg, pUL), _decode(cfg, pVL)
-    uR, vR = _decode(cfg, pUR), _decode(cfg, pVR)
+        uL, vL = u, v
+        uR = shift_wrapped(u, 0, 1) if axis == 0 else shift_wrapped(u, 1, 0)
+        vR = shift_wrapped(v, 0, 1) if axis == 0 else shift_wrapped(v, 1, 0)
 
     if axis == 0:
         FL_u, FL_v = 0.5 * uL * uL, uL * vL
@@ -210,8 +215,10 @@ def step(cfg: BurgersConfig, s: BurgersState,
     `wavespeed_reduce` (e.g. lax.pmax over a mesh axis) extends the CFL
     max across devices for the sharded path."""
     one_d = cfg.colehopf
-    u = _decode(cfg, s.phi_u)
-    v = _decode(cfg, s.phi_v)
+    # the ONE decode of the step: faces reuse u0/v0 (see _rusanov_faces)
+    u0 = _decode(cfg, s.phi_u)
+    v0 = _decode(cfg, s.phi_v)
+    u, v = u0, v0
 
     inv_dy = 0.0 if (one_d or cfg.ny <= 1) else 1.0 / cfg.dy
     smax = jnp.max(jnp.abs(u) / cfg.dx + jnp.abs(v) * inv_dy)
@@ -220,14 +227,14 @@ def step(cfg: BurgersConfig, s: BurgersState,
     smax = jnp.maximum(smax, 1e-12)
     dt = jnp.minimum(s.t * cfg.dtau, cfg.cfl / smax)
 
-    Fu_x, Fv_x = _rusanov_faces(cfg, s.phi_u, s.phi_v, axis=0)
+    Fu_x, Fv_x = _rusanov_faces(cfg, s.phi_u, s.phi_v, u0, v0, axis=0)
     dFx_u = Fu_x - shift_wrapped(Fu_x, 0, -1)
     dFx_v = Fv_x - shift_wrapped(Fv_x, 0, -1)
     u = u - dt * dFx_u / cfg.dx
     v = v - dt * dFx_v / cfg.dx
 
     if not one_d:
-        Gu_y, Gv_y = _rusanov_faces(cfg, s.phi_u, s.phi_v, axis=1)
+        Gu_y, Gv_y = _rusanov_faces(cfg, s.phi_u, s.phi_v, u0, v0, axis=1)
         dGy_u = Gu_y - shift_wrapped(Gu_y, -1, 0)
         dGy_v = Gv_y - shift_wrapped(Gv_y, -1, 0)
         u = u - dt * dGy_u / cfg.dy
