@@ -346,6 +346,7 @@ def cmd_shallow_water(args):
     cfg = sw.ShallowWaterConfig(
         nx=args.nx, ny=args.ny, dx=args.dx, dy=args.dy, g=args.g, f0=args.f0,
         nu=args.nu, H0=args.H0, dtau=args.dtau, dtype=args.dtype,
+        engine=args.engine, block_k=args.block_k,
     )
     s = sw.init(cfg)
     run = jax.jit(lambda st, n: sw.run(cfg, st, n), static_argnums=1)
@@ -1303,6 +1304,11 @@ def build_parser():
     p.add_argument("--nu", type=float, default=0.001)
     p.add_argument("--H0", type=float, default=1000.0)
     p.add_argument("--dtau", type=float, default=1.0)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="pallas = whole-solve VMEM-resident K-step kernel")
+    p.add_argument("--block-k", type=int, default=16,
+                   help="fused steps per kernel launch (pallas engine)")
     _common(p, 2000)
     p.set_defaults(fn=cmd_shallow_water)
 

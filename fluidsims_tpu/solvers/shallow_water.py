@@ -24,7 +24,8 @@ import numpy as np
 from ..core.config import BaseConfig
 from ..ops.shift import shift_wrapped
 
-__all__ = ["ShallowWaterConfig", "ShallowWaterState", "init", "step", "run", "depth"]
+__all__ = ["ShallowWaterConfig", "ShallowWaterState", "init", "step",
+           "step_fields", "run", "depth", "resolve_engine"]
 
 H_EPS = 1e-6  # depth positivity floor (update_kernel :509)
 
@@ -51,12 +52,17 @@ class ShallowWaterConfig(BaseConfig):
     t0: float = 1.0
     dtau: float = 1.0
     dtype: str = "float32"
+    engine: str = "auto"     # auto | xla | pallas (whole-solve VMEM resident)
+    block_k: int = 16        # fused steps per kernel launch (pallas)
 
     def validate(self):
         self._require(self.nx > 0 and self.ny > 0, "grid dims must be positive")
         self._require(self.g > 0, "g must be > 0")
         self._require(self.H0 > 0, "H0 must be > 0")
         self._require(self.cfl > 0, "CFL must be > 0")
+        self._require(self.engine in ("auto", "xla", "pallas"),
+                      "engine must be auto, xla or pallas")
+        self._require(self.block_k >= 1, "block_k must be >= 1")
 
 
 class ShallowWaterState(NamedTuple):
@@ -137,38 +143,43 @@ def _hll(hL, uL, vL, hR, uR, vR, g, axis):
     return tuple(out)
 
 
-def step(cfg: ShallowWaterConfig, s: ShallowWaterState,
-         wavespeed_reduce=None) -> ShallowWaterState:
-    """`wavespeed_reduce` (e.g. lax.pmax over a mesh axis) extends the CFL
-    max across devices for the sharded path."""
-    h = jnp.exp(s.sigma)
+def step_fields(cfg: ShallowWaterConfig, sigma, u, v, t,
+                shift=shift_wrapped, wavespeed_reduce=None):
+    """One step on the raw (sigma, u, v) fields; returns (sigma2, u2, v2).
+
+    `shift` is the periodic 2-D shift primitive — shift_wrapped for the
+    XLA path, a pltpu.roll-based equivalent inside the resident Pallas
+    kernel (kernels/sw_resident_pallas.py) — so both engines share this
+    one physics source.  `wavespeed_reduce` (e.g. lax.pmax over a mesh
+    axis) extends the CFL max across devices for the sharded path."""
+    h = jnp.exp(sigma)
     c = jnp.sqrt(cfg.g * h)
-    cmax = jnp.max(jnp.maximum(jnp.abs(s.u) + c, jnp.abs(s.v) + c))
+    cmax = jnp.max(jnp.maximum(jnp.abs(u) + c, jnp.abs(v) + c))
     if wavespeed_reduce is not None:
         cmax = wavespeed_reduce(cmax)
     cmax = jnp.maximum(cmax, 1e-12)
-    dt = jnp.minimum(s.t * cfg.dtau, cfg.cfl * min(cfg.dx, cfg.dy) / cmax)
+    dt = jnp.minimum(t * cfg.dtau, cfg.cfl * min(cfg.dx, cfg.dy) / cmax)
 
     # x faces between i and i+1 (stored at i)
-    hR = shift_wrapped(h, 0, 1)
-    uR = shift_wrapped(s.u, 0, 1)
-    vR = shift_wrapped(s.v, 0, 1)
-    Fh, Fmx, Fmy = _hll(h, s.u, s.v, hR, uR, vR, cfg.g, axis=0)
+    hR = shift(h, 0, 1)
+    uR = shift(u, 0, 1)
+    vR = shift(v, 0, 1)
+    Fh, Fmx, Fmy = _hll(h, u, v, hR, uR, vR, cfg.g, axis=0)
 
-    hT = shift_wrapped(h, 1, 0)
-    uT = shift_wrapped(s.u, 1, 0)
-    vT = shift_wrapped(s.v, 1, 0)
-    Gh, Gmx, Gmy = _hll(h, s.u, s.v, hT, uT, vT, cfg.g, axis=1)
+    hT = shift(h, 1, 0)
+    uT = shift(u, 1, 0)
+    vT = shift(v, 1, 0)
+    Gh, Gmx, Gmy = _hll(h, u, v, hT, uT, vT, cfg.g, axis=1)
 
     inv_dx, inv_dy = 1.0 / cfg.dx, 1.0 / cfg.dy
-    mx = h * s.u
-    my = h * s.v
-    h2 = h - dt * ((Fh - shift_wrapped(Fh, 0, -1)) * inv_dx
-                   + (Gh - shift_wrapped(Gh, -1, 0)) * inv_dy)
-    mx2 = mx - dt * ((Fmx - shift_wrapped(Fmx, 0, -1)) * inv_dx
-                     + (Gmx - shift_wrapped(Gmx, -1, 0)) * inv_dy)
-    my2 = my - dt * ((Fmy - shift_wrapped(Fmy, 0, -1)) * inv_dx
-                     + (Gmy - shift_wrapped(Gmy, -1, 0)) * inv_dy)
+    mx = h * u
+    my = h * v
+    h2 = h - dt * ((Fh - shift(Fh, 0, -1)) * inv_dx
+                   + (Gh - shift(Gh, -1, 0)) * inv_dy)
+    mx2 = mx - dt * ((Fmx - shift(Fmx, 0, -1)) * inv_dx
+                     + (Gmx - shift(Gmx, -1, 0)) * inv_dy)
+    my2 = my - dt * ((Fmy - shift(Fmy, 0, -1)) * inv_dx
+                     + (Gmy - shift(Gmy, -1, 0)) * inv_dy)
 
     h2 = jnp.maximum(h2, H_EPS)
     u2 = mx2 / h2
@@ -180,15 +191,22 @@ def step(cfg: ShallowWaterConfig, s: ShallowWaterState,
 
         def lap(f):
             return (
-                (shift_wrapped(f, 0, 1) - 2 * f + shift_wrapped(f, 0, -1)) * inv_dx2
-                + (shift_wrapped(f, 1, 0) - 2 * f + shift_wrapped(f, -1, 0)) * inv_dy2
+                (shift(f, 0, 1) - 2 * f + shift(f, 0, -1)) * inv_dx2
+                + (shift(f, 1, 0) - 2 * f + shift(f, -1, 0)) * inv_dy2
             )
 
         u2 = u2 + cfg.nu * dt * lap(u2)
         v2 = v2 + cfg.nu * dt * lap(v2)
 
+    return jnp.log(h2), u2, v2
+
+
+def step(cfg: ShallowWaterConfig, s: ShallowWaterState,
+         wavespeed_reduce=None) -> ShallowWaterState:
+    sigma2, u2, v2 = step_fields(cfg, s.sigma, s.u, s.v, s.t,
+                                 wavespeed_reduce=wavespeed_reduce)
     return ShallowWaterState(
-        sigma=jnp.log(h2),
+        sigma=sigma2,
         u=u2,
         v=v2,
         t=s.t * jnp.exp(jnp.asarray(cfg.dtau, s.t.dtype)),
@@ -196,7 +214,35 @@ def step(cfg: ShallowWaterConfig, s: ShallowWaterState,
     )
 
 
+def resolve_engine(cfg: ShallowWaterConfig) -> str:
+    """'pallas' = the whole-solve VMEM-resident K-step kernel
+    (kernels/sw_resident_pallas.make_multistep_pallas): the XLA path sits
+    at no single bound (~30% HBM, ~30% issue — BASELINE.md roofline), so
+    running block_k steps per launch with the state resident in VMEM
+    removes the per-step intermediate traffic and glue.  Needs f32,
+    nx % 128 == 0 and nx*ny <= 2M cells.  'auto' currently resolves to
+    the XLA path everywhere — the kernel is interpret-verified but not
+    yet measured on TPU hardware; bench.py measures both and the default
+    flips once a win is recorded."""
+    from ..kernels.sw_resident_pallas import resident_eligible
+
+    if cfg.engine != "auto":
+        if cfg.engine == "pallas" and not resident_eligible(cfg):
+            raise ValueError(
+                "engine='pallas' requires float32, nx % 128 == 0 and "
+                "nx*ny <= 2M cells (whole-solve VMEM residency)")
+        return cfg.engine
+    return "xla"
+
+
 def run(cfg: ShallowWaterConfig, s: ShallowWaterState, n_steps: int):
     from ..core.stepper import scan_steps
 
+    if resolve_engine(cfg) == "pallas":
+        import jax
+
+        from ..kernels.sw_resident_pallas import run_multistep
+
+        return run_multistep(cfg, s, n_steps, k=cfg.block_k,
+                             interpret=jax.default_backend() != "tpu")
     return scan_steps(lambda st: step(cfg, st), s, n_steps)

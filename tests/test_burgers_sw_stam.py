@@ -195,3 +195,35 @@ def test_stam2d_matches_loop_oracle_f64():
     for name, ref in (("u", orc.u), ("v", orc.v), ("d", orc.d)):
         got = np.asarray(getattr(s, name))
         assert np.abs(got - ref[1:-1, 1:-1]).max() < 1e-12, name
+
+
+def test_sw_resident_multistep_matches_xla():
+    """The whole-solve VMEM-resident K-step kernel
+    (kernels/sw_resident_pallas.make_multistep_pallas) reproduces the XLA
+    path to f32 transcendental/FMA ulps — the per-step global CFL max,
+    the t/tau clock carry, and a non-multiple remainder included."""
+    from fluidsims_tpu.kernels.sw_resident_pallas import run_multistep
+
+    cfg = sw.ShallowWaterConfig(nx=128, ny=96, dtau=1e-3)
+    s = sw.init(cfg)
+    ref = s
+    for _ in range(11):
+        ref = sw.step(cfg, ref)
+    out = run_multistep(cfg, s, 11, k=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.sigma), np.asarray(ref.sigma),
+                               atol=1e-6)
+    # u/v are O(40) here: rtol pins the drift at ulp level (measured
+    # max_rel ~1e-6 from FMA-contraction differences)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)
+    np.testing.assert_allclose(float(out.tau), float(ref.tau), rtol=1e-6)
+
+
+def test_sw_engine_validation():
+    import pytest
+
+    cfg = sw.ShallowWaterConfig(nx=100, ny=64, engine="pallas")
+    with pytest.raises(ValueError):
+        sw.resolve_engine(cfg)   # nx not a lane multiple
+    assert sw.resolve_engine(sw.ShallowWaterConfig(nx=100, ny=64)) == "xla"
