@@ -282,6 +282,7 @@ def cmd_burgers(args):
         nx=args.nx, ny=args.ny, nu=args.nu, u0=args.u0, cfl=args.CFL,
         dtau=args.dtau, muscl=args.muscl, visc_substeps=args.visc_substeps,
         colehopf=args.colehopf, ck=args.ck, ca=args.ca, dtype=args.dtype,
+        engine=args.engine, block_k=args.block_k,
     )
     s = bg.init(cfg)
     run = jax.jit(lambda st, n: bg.run(cfg, st, n), static_argnums=1)
@@ -1291,6 +1292,11 @@ def build_parser():
     p.add_argument("--colehopf", action="store_true")
     p.add_argument("--ck", type=int, default=4)
     p.add_argument("--ca", type=float, default=0.5)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="pallas = whole-solve VMEM-resident K-step kernel")
+    p.add_argument("--block-k", type=int, default=16,
+                   help="fused steps per kernel launch (pallas engine)")
     _common(p, 2000)
     p.set_defaults(fn=cmd_burgers)
 

@@ -8,27 +8,19 @@ Why residency: at the 512x512 reference default the measured rate sits at
 no single bound — ~30% of HBM, ~30% of the vector-issue ceiling
 (BASELINE.md roofline) — i.e. XLA's per-step pass structure materializes
 intermediates and pays glue.  The whole state is 3 MB, so ALL of it fits
-in VMEM: this kernel loads (sigma, u, v) once, runs K full steps in VMEM
-(grid=() — one invocation, no banding, so periodic wraps are EXACT
-pltpu.rolls and the per-step global CFL max is the exact global max, no
-ghost-creep approximation anywhere), and writes once.  The physics body
-is solvers.shallow_water.step_fields itself, parameterized by the shift
-primitive — one source of truth for both engines.
-
-The t/tau clock scalars ride in SMEM and are advanced inside the loop
-(dt = min(t*dtau, CFL*min(dx,dy)/cmax) depends on t per step).
+in VMEM: one kernel launch loads (sigma, u, v) once, runs K full steps
+(grid=() — no banding, so periodic wraps are EXACT pltpu.rolls and the
+per-step global CFL max is the exact global max; no ghost-creep
+approximation anywhere), and writes once.  The physics body is
+solvers.shallow_water.step_fields itself, parameterized by the shift
+primitive — one source of truth for both engines (scaffold:
+kernels/resident_multistep.py).
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
 from ..solvers import shallow_water as sw
+from .resident_multistep import make_resident_multistep
 
 __all__ = ["make_multistep_pallas", "run_multistep", "resident_eligible"]
 
@@ -41,37 +33,6 @@ def resident_eligible(cfg: sw.ShallowWaterConfig) -> bool:
             and cfg.nx * cfg.ny <= _MAX_CELLS)
 
 
-def _kernel(cfg, k, t_ref, tau_ref, sig_in, u_in, v_in,
-            sig_out, u_out, v_out, t_out, tau_out):
-    import jax.lax as lax
-
-    H, W = cfg.ny, cfg.nx
-
-    def shift(f, dy, dx):
-        # S[y, x] = f[(y+dy) % H, (x+dx) % W], matching ops.shift.
-        # pltpu.roll(f, s, axis)[i] = f[(i - s) % n]; shifts must be >= 0.
-        if dx:
-            f = pltpu.roll(f, (-dx) % W, axis=1)
-        if dy:
-            f = pltpu.roll(f, (-dy) % H, axis=0)
-        return f
-
-    def body(_i, carry):
-        sig, u, v, t, tau = carry
-        sig2, u2, v2 = sw.step_fields(cfg, sig, u, v, t, shift=shift)
-        t2 = t * jnp.exp(jnp.asarray(cfg.dtau, t.dtype))
-        return (sig2, u2, v2, t2, tau + jnp.asarray(cfg.dtau, tau.dtype))
-
-    sig, u, v, t, tau = lax.fori_loop(
-        0, k, body,
-        (sig_in[:, :], u_in[:, :], v_in[:, :], t_ref[0, 0], tau_ref[0, 0]))
-    sig_out[:, :] = sig
-    u_out[:, :] = u
-    v_out[:, :] = v
-    t_out[0, 0] = t
-    tau_out[0, 0] = tau
-
-
 def make_multistep_pallas(cfg: sw.ShallowWaterConfig, k: int = 16,
                           interpret: bool = False):
     """Build superstep(state) -> state advancing k steps entirely in VMEM.
@@ -82,32 +43,17 @@ def make_multistep_pallas(cfg: sw.ShallowWaterConfig, k: int = 16,
             "resident kernel requires float32, nx % 128 == 0 and "
             f"nx*ny <= {_MAX_CELLS}; got nx={cfg.nx} ny={cfg.ny} "
             f"dtype={cfg.dtype}")
-    H, W = cfg.ny, cfg.nx
 
-    scal = pl.BlockSpec(memory_space=pltpu.SMEM)
-    field = pl.BlockSpec(memory_space=pltpu.VMEM)
+    def body(fields, t, shift):
+        sigma, u, v = fields
+        return sw.step_fields(cfg, sigma, u, v, t, shift=shift)
 
-    call = pl.pallas_call(
-        functools.partial(_kernel, cfg, k),
-        in_specs=[scal, scal, field, field, field],
-        out_specs=[field, field, field, scal, scal],
-        out_shape=[
-            jax.ShapeDtypeStruct((H, W), cfg.jax_dtype),
-            jax.ShapeDtypeStruct((H, W), cfg.jax_dtype),
-            jax.ShapeDtypeStruct((H, W), cfg.jax_dtype),
-            jax.ShapeDtypeStruct((1, 1), cfg.jax_dtype),
-            jax.ShapeDtypeStruct((1, 1), cfg.jax_dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )
+    sup = make_resident_multistep(body, 3, (cfg.ny, cfg.nx), cfg.jax_dtype,
+                                  cfg.dtau, k, interpret)
 
     def superstep(s: sw.ShallowWaterState) -> sw.ShallowWaterState:
-        sig, u, v, t, tau = call(
-            s.t.reshape(1, 1), s.tau.reshape(1, 1), s.sigma, s.u, s.v)
-        return sw.ShallowWaterState(sigma=sig, u=u, v=v,
-                                    t=t[0, 0], tau=tau[0, 0])
+        t, tau, sig, u, v = sup(s.t, s.tau, s.sigma, s.u, s.v)
+        return sw.ShallowWaterState(sigma=sig, u=u, v=v, t=t, tau=tau)
 
     return superstep
 

@@ -31,6 +31,8 @@ __all__ = [
     "BurgersState",
     "init",
     "step",
+    "step_fields",
+    "resolve_engine",
     "run",
     "velocities",
     "cole_hopf_exact",
@@ -67,12 +69,17 @@ class BurgersConfig(BaseConfig):
     ck: int = 4
     ca: float = 0.5
     dtype: str = "float32"
+    engine: str = "auto"     # auto | xla | pallas (whole-solve VMEM resident)
+    block_k: int = 16        # fused steps per kernel launch (pallas)
 
     def validate(self):
         self._require(self.nx > 0 and self.ny > 0, "grid dims must be positive")
         self._require(self.u0 != 0.0, "u0 must be nonzero")
         self._require(self.cfl > 0.0, "CFL must be > 0")
         self._require(self.visc_substeps >= 1, "visc_substeps must be >= 1")
+        self._require(self.engine in ("auto", "xla", "pallas"),
+                      "engine must be auto, xla or pallas")
+        self._require(self.block_k >= 1, "block_k must be >= 1")
         if self.colehopf:
             self._require(abs(self.ca) < 1.0, "Cole-Hopf amplitude |ca| must be < 1")
 
@@ -160,19 +167,20 @@ def init(cfg: BurgersConfig) -> BurgersState:
     )
 
 
-def _muscl_faces(q, axis: int):
+def _muscl_faces(q, axis: int, shift=shift_wrapped):
     """Face states (left cell's right face, right cell's left face) with
     minmod slope limiting on phi (tau_burgers.cu:379-395)."""
-    qp = shift_wrapped(q, 0, 1) if axis == 0 else shift_wrapped(q, 1, 0)
-    qm = shift_wrapped(q, 0, -1) if axis == 0 else shift_wrapped(q, -1, 0)
-    qpp = shift_wrapped(q, 0, 2) if axis == 0 else shift_wrapped(q, 2, 0)
+    qp = shift(q, 0, 1) if axis == 0 else shift(q, 1, 0)
+    qm = shift(q, 0, -1) if axis == 0 else shift(q, -1, 0)
+    qpp = shift(q, 0, 2) if axis == 0 else shift(q, 2, 0)
 
     sL = 0.5 * minmod(q - qm, qp - q)
     sR = 0.5 * minmod(qpp - qp, qp - q)
     return q + sL, qp - sR
 
 
-def _rusanov_faces(cfg, phi_u, phi_v, u, v, axis: int):
+def _rusanov_faces(cfg, phi_u, phi_v, u, v, axis: int,
+                   shift=shift_wrapped):
     """Rusanov (LLF) face fluxes for both components along one axis.
 
     `u`/`v` are the decoded velocities (sinh(phi)*u0), passed in so the
@@ -184,14 +192,14 @@ def _rusanov_faces(cfg, phi_u, phi_v, u, v, axis: int):
     path reconstructs on phi and must decode the reconstructed faces
     (tau_burgers.cu:379-395 semantics)."""
     if cfg.muscl:
-        pUL, pUR = _muscl_faces(phi_u, axis)
-        pVL, pVR = _muscl_faces(phi_v, axis)
+        pUL, pUR = _muscl_faces(phi_u, axis, shift)
+        pVL, pVR = _muscl_faces(phi_v, axis, shift)
         uL, vL = _decode(cfg, pUL), _decode(cfg, pVL)
         uR, vR = _decode(cfg, pUR), _decode(cfg, pVR)
     else:
         uL, vL = u, v
-        uR = shift_wrapped(u, 0, 1) if axis == 0 else shift_wrapped(u, 1, 0)
-        vR = shift_wrapped(v, 0, 1) if axis == 0 else shift_wrapped(v, 1, 0)
+        uR = shift(u, 0, 1) if axis == 0 else shift(u, 1, 0)
+        vR = shift(v, 0, 1) if axis == 0 else shift(v, 1, 0)
 
     if axis == 0:
         FL_u, FL_v = 0.5 * uL * uL, uL * vL
@@ -208,16 +216,20 @@ def _rusanov_faces(cfg, phi_u, phi_v, u, v, axis: int):
     return F_u, F_v
 
 
-def step(cfg: BurgersConfig, s: BurgersState,
-         wavespeed_reduce=None) -> BurgersState:
-    """One τ-clock step: CFL -> Rusanov fluxes -> convective update ->
-    K viscosity substeps (tau_burgers.cu do_step :677-718).
-    `wavespeed_reduce` (e.g. lax.pmax over a mesh axis) extends the CFL
-    max across devices for the sharded path."""
+def step_fields(cfg: BurgersConfig, phi_u, phi_v, t,
+                shift=shift_wrapped, wavespeed_reduce=None):
+    """One τ-clock step on the raw (phi_u, phi_v) fields; returns
+    (phi_u2, phi_v2) (tau_burgers.cu do_step :677-718).
+
+    `shift` is the periodic 2-D shift primitive — shift_wrapped for the
+    XLA path, a pltpu.roll-based equivalent inside the resident Pallas
+    kernel (kernels/burgers_resident_pallas.py) — so both engines share
+    this one physics source.  `wavespeed_reduce` (e.g. lax.pmax over a
+    mesh axis) extends the CFL max across devices for the sharded path."""
     one_d = cfg.colehopf
     # the ONE decode of the step: faces reuse u0/v0 (see _rusanov_faces)
-    u0 = _decode(cfg, s.phi_u)
-    v0 = _decode(cfg, s.phi_v)
+    u0 = _decode(cfg, phi_u)
+    v0 = _decode(cfg, phi_v)
     u, v = u0, v0
 
     inv_dy = 0.0 if (one_d or cfg.ny <= 1) else 1.0 / cfg.dy
@@ -225,18 +237,20 @@ def step(cfg: BurgersConfig, s: BurgersState,
     if wavespeed_reduce is not None:
         smax = wavespeed_reduce(smax)
     smax = jnp.maximum(smax, 1e-12)
-    dt = jnp.minimum(s.t * cfg.dtau, cfg.cfl / smax)
+    dt = jnp.minimum(t * cfg.dtau, cfg.cfl / smax)
 
-    Fu_x, Fv_x = _rusanov_faces(cfg, s.phi_u, s.phi_v, u0, v0, axis=0)
-    dFx_u = Fu_x - shift_wrapped(Fu_x, 0, -1)
-    dFx_v = Fv_x - shift_wrapped(Fv_x, 0, -1)
+    Fu_x, Fv_x = _rusanov_faces(cfg, phi_u, phi_v, u0, v0, axis=0,
+                                shift=shift)
+    dFx_u = Fu_x - shift(Fu_x, 0, -1)
+    dFx_v = Fv_x - shift(Fv_x, 0, -1)
     u = u - dt * dFx_u / cfg.dx
     v = v - dt * dFx_v / cfg.dx
 
     if not one_d:
-        Gu_y, Gv_y = _rusanov_faces(cfg, s.phi_u, s.phi_v, u0, v0, axis=1)
-        dGy_u = Gu_y - shift_wrapped(Gu_y, -1, 0)
-        dGy_v = Gv_y - shift_wrapped(Gv_y, -1, 0)
+        Gu_y, Gv_y = _rusanov_faces(cfg, phi_u, phi_v, u0, v0, axis=1,
+                                    shift=shift)
+        dGy_u = Gu_y - shift(Gu_y, -1, 0)
+        dGy_v = Gv_y - shift(Gv_y, -1, 0)
         u = u - dt * dGy_u / cfg.dy
         v = v - dt * dGy_v / cfg.dy
 
@@ -248,25 +262,57 @@ def step(cfg: BurgersConfig, s: BurgersState,
     sub = dt / cfg.visc_substeps
     for _ in range(cfg.visc_substeps):
         lap_u = (
-            (shift_wrapped(u, 0, 1) - 2 * u + shift_wrapped(u, 0, -1)) * inv_dx2
-            + (shift_wrapped(u, 1, 0) - 2 * u + shift_wrapped(u, -1, 0)) * inv_dy2
+            (shift(u, 0, 1) - 2 * u + shift(u, 0, -1)) * inv_dx2
+            + (shift(u, 1, 0) - 2 * u + shift(u, -1, 0)) * inv_dy2
         )
         lap_v = (
-            (shift_wrapped(v, 0, 1) - 2 * v + shift_wrapped(v, 0, -1)) * inv_dx2
-            + (shift_wrapped(v, 1, 0) - 2 * v + shift_wrapped(v, -1, 0)) * inv_dy2
+            (shift(v, 0, 1) - 2 * v + shift(v, 0, -1)) * inv_dx2
+            + (shift(v, 1, 0) - 2 * v + shift(v, -1, 0)) * inv_dy2
         )
         u = u + cfg.nu * sub * lap_u
         v = v + cfg.nu * sub * lap_v
 
+    return _encode(cfg, u), _encode(cfg, v)
+
+
+def step(cfg: BurgersConfig, s: BurgersState,
+         wavespeed_reduce=None) -> BurgersState:
+    phi_u2, phi_v2 = step_fields(cfg, s.phi_u, s.phi_v, s.t,
+                                 wavespeed_reduce=wavespeed_reduce)
     return BurgersState(
-        phi_u=_encode(cfg, u),
-        phi_v=_encode(cfg, v),
+        phi_u=phi_u2,
+        phi_v=phi_v2,
         t=s.t * jnp.exp(jnp.asarray(cfg.dtau, s.t.dtype)),
         tau=s.tau + cfg.dtau,
     )
 
 
+def resolve_engine(cfg: BurgersConfig) -> str:
+    """'pallas' = the whole-solve VMEM-resident K-step kernel
+    (kernels/burgers_resident_pallas.make_multistep_pallas).  Needs f32,
+    nx % 128 == 0, nx*ny <= 3M cells, not colehopf.  'auto' currently
+    resolves to the XLA path everywhere — the kernel is
+    interpret-verified but not yet measured on TPU hardware; bench.py
+    measures both and the default flips once a win is recorded."""
+    from ..kernels.burgers_resident_pallas import resident_eligible
+
+    if cfg.engine != "auto":
+        if cfg.engine == "pallas" and not resident_eligible(cfg):
+            raise ValueError(
+                "engine='pallas' requires float32, nx % 128 == 0, "
+                "nx*ny <= 3M cells and colehopf=False")
+        return cfg.engine
+    return "xla"
+
+
 def run(cfg: BurgersConfig, s: BurgersState, n_steps: int) -> BurgersState:
     from ..core.stepper import scan_steps
 
+    if resolve_engine(cfg) == "pallas":
+        import jax
+
+        from ..kernels.burgers_resident_pallas import run_multistep
+
+        return run_multistep(cfg, s, n_steps, k=cfg.block_k,
+                             interpret=jax.default_backend() != "tpu")
     return scan_steps(lambda st: step(cfg, st), s, n_steps)

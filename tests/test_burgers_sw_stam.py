@@ -227,3 +227,38 @@ def test_sw_engine_validation():
     with pytest.raises(ValueError):
         sw.resolve_engine(cfg)   # nx not a lane multiple
     assert sw.resolve_engine(sw.ShallowWaterConfig(nx=100, ny=64)) == "xla"
+
+
+def test_burgers_resident_multistep_matches_xla():
+    """The whole-solve VMEM-resident K-step kernel
+    (kernels/burgers_resident_pallas.make_multistep_pallas) reproduces
+    the XLA path to f32 ulps — the per-step asinh codec, the global CFL
+    max, the clock carry, and a non-multiple remainder included."""
+    from fluidsims_tpu.kernels.burgers_resident_pallas import run_multistep
+
+    cfg = bg.BurgersConfig(nx=128, ny=96, dtau=1e-2)
+    s = bg.init(cfg)
+    ref = s
+    for _ in range(11):
+        ref = bg.step(cfg, ref)
+    out = run_multistep(cfg, s, 11, k=4, interpret=True)
+    # rtol 1e-4: ulp-level FMA-contraction drift can flip a Rusanov
+    # upwinding select in isolated cells (measured worst case 2.6e-5)
+    np.testing.assert_allclose(np.asarray(out.phi_u), np.asarray(ref.phi_u),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.phi_v), np.asarray(ref.phi_v),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(out.t), float(ref.t), rtol=1e-6)
+    np.testing.assert_allclose(float(out.tau), float(ref.tau), rtol=1e-6)
+
+
+def test_burgers_engine_validation():
+    import pytest
+
+    cfg = bg.BurgersConfig(nx=100, ny=64, engine="pallas")
+    with pytest.raises(ValueError):
+        bg.resolve_engine(cfg)   # nx not a lane multiple
+    cfg2 = bg.BurgersConfig(colehopf=True, engine="pallas")
+    with pytest.raises(ValueError):
+        bg.resolve_engine(cfg2)  # 1-D mode stays on the XLA path
+    assert bg.resolve_engine(bg.BurgersConfig()) == "xla"
