@@ -172,7 +172,10 @@ def make_multistep_pallas(cfg: gs.GrayScottConfig, k: int = 16,
     if W % 128:
         raise ValueError(f"nx={W} must be a multiple of 128")
     if band is None:
-        band = next((b for b in (512, 256, 128, 64, 32, 16)
+        # 256 first: the hardware-measured 1.94x config at 2048^2 is
+        # (k=16, band=256); larger bands buy little (the ghost-column
+        # overhead is width-fixed) and compile slower
+        band = next((b for b in (256, 512, 128, 64, 32, 16)
                      if H % b == 0 and b >= k), None)
         if band is None:
             raise ValueError(f"no valid band for ny={H}, k={k}")
