@@ -125,3 +125,56 @@ def test_mhd_sharded_matches_dense(n_dev):
             np.asarray(getattr(out.U, name)),
             np.asarray(getattr(dense.U, name)), err_msg=name)
     np.testing.assert_allclose(float(out.t), float(dense.t), rtol=1e-12)
+
+
+@pytest.mark.parametrize("n_dev", [4])
+def test_gray_scott_comm_avoiding_multistep(n_dev):
+    """Communication-avoiding composition (periodic_sharded.py module doc):
+    halo=K + a K-step local body pays ONE ppermute per K steps.  Both the
+    XLA K-step body and the K-step temporally-blocked Pallas kernel per
+    shard must match the dense run."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough devices")
+    # nx/n_dev + 2K = 128: the kernel path needs the halo-extended slab
+    # width to be a lane multiple (on hardware too — e.g. 2048/8 + 2*64)
+    K, n_sup = 4, 3
+    cfg = gs.GrayScottConfig(nx=480, ny=32)
+    s = gs.init(cfg)
+    dense = gs.run(cfg, s, K * n_sup)
+
+    mesh = make_mesh_1d(n_dev)
+    nxl = cfg.nx // n_dev + 2 * K
+    cfg_ext = gs.GrayScottConfig(nx=nxl, ny=cfg.ny, dx=cfg.dx, dt=cfg.dt,
+                                 Du=cfg.Du, Dv=cfg.Dv, feed=cfg.feed,
+                                 kill=cfg.kill)
+
+    # (a) XLA K-step local body: corruption creeps 1 col/step into the
+    # K-deep halo, which is cropped after each superstep
+    def local_xla(ext):
+        st = gs.GrayScottState(u=ext[0], v=ext[1])
+        for _ in range(K):
+            st = gs.step(cfg_ext, st)
+        return (st.u, st.v)
+
+    run = make_sharded_periodic_run(local_xla, mesh, halo=K, n_steps=n_sup)
+    u, v = run(shard_arrays((s.u, s.v), mesh))
+    np.testing.assert_allclose(np.asarray(u), np.asarray(dense.u),
+                               rtol=1e-6, atol=1e-7)
+
+    # (b) the K-step Pallas multistep kernel per shard (interpret mode on
+    # CPU): its own wrapped slab ghosts corrupt the same <= K halo cols
+    from fluidsims_tpu.kernels.gray_scott_pallas import make_multistep_pallas
+
+    sup = make_multistep_pallas(cfg_ext, k=K, band=16, interpret=True)
+
+    def local_pallas(ext):
+        out = sup(gs.GrayScottState(u=ext[0], v=ext[1]))
+        return (out.u, out.v)
+
+    run2 = make_sharded_periodic_run(local_pallas, mesh, halo=K,
+                                     n_steps=n_sup)
+    u2, v2 = run2(shard_arrays((s.u, s.v), mesh))
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(dense.u),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(dense.v),
+                               rtol=1e-5, atol=1e-6)
