@@ -1017,6 +1017,12 @@ def cmd_hypersonic2d_cpu(args):
 
     cfg = HypersonicCPUConfig(w=args.nx, h=args.ny, gamma=args.gamma,
                               cfl=args.cfl, mach=args.mach)
+    if getattr(args, "interactive", False):
+        import sys
+
+        print("WARNING: --interactive has no effect for hypersonic2d-cpu "
+              "(batch oracle solver; use hypersonic2d for the live view)",
+              file=sys.stderr)
     if args.native:
         from .solvers.hypersonic2d_cpu_native import HypersonicCPUNative
 
@@ -1197,10 +1203,11 @@ def cmd_nbody(args):
     cfg = ng.GraphLayoutConfig(max_number=args.max_number, dims=args.dims,
                                grid_res=args.grid_res, engine=args.engine,
                                dtype=args.dtype)
-    # --interactive runs until 'q'; --stride alone animates but must stay
-    # bounded (a scripted `--stride N --steps 0` run would otherwise wait
-    # forever for a keypress)
-    if args.render and (args.interactive or (args.stride and args.steps)):
+    # --interactive runs until 'q' (and implies --render: the reference
+    # graph demos are interactive VISUAL programs); --render --stride
+    # alone animates but must stay bounded (a scripted `--stride N
+    # --steps 0` run would otherwise wait forever for a keypress)
+    if args.interactive or (args.render and args.stride and args.steps):
         _nbody_live(args, cfg)
         return
     if args.native:

@@ -52,18 +52,27 @@ def load_state(path, like) -> object:
             )
     if "__treedef__" in data:
         # treedef repr is not a stable serialization across JAX versions, so
-        # a string mismatch alone is only a warning; the authoritative checks
-        # are the per-leaf count/shape/dtype validations below.
+        # when the state class above already verified, a string mismatch is
+        # only a warning (the authoritative checks are the per-leaf
+        # count/shape/dtype validations below).  Legacy checkpoints without
+        # __state_class__ have no other structural check — same-shape field
+        # permutations would resume silently wrong — so there the mismatch
+        # stays a hard error.
         saved_td = json.loads(bytes(data["__treedef__"]).decode())
         if saved_td != str(treedef):
-            import warnings
-
-            warnings.warn(
+            msg = (
                 "checkpoint treedef string differs from the template state "
-                "(may be a JAX version change); validating leaf count and "
-                f"shapes instead:\n  saved:    {saved_td}\n"
-                f"  template: {treedef}"
+                "(may be a JAX version change); "
+                f"\n  saved:    {saved_td}\n  template: {treedef}"
             )
+            if "__state_class__" in data:
+                import warnings
+
+                warnings.warn(
+                    msg + "\nstate class matches; validating leaf "
+                    "count and shapes instead")
+            else:
+                raise ValueError(msg)
     restored = []
     for i, ref in enumerate(leaves):
         if f"leaf_{i}" not in data:

@@ -52,9 +52,9 @@ _C_XP, _C_XM, _C_YP, _C_YM = 10, 11, 12, 13
 _NCH = 14
 
 
-def _w1(x):
-    ax = jnp.abs(x)
-    return jnp.where(ax < 1.0, 1.0 - ax, 0.0)
+# the solver's own hat-weight helper: the bitwise-equality contract
+# between engines depends on both using the SAME formula object
+_w1 = fa._w1
 
 
 def _row_shift(row, ox, n):

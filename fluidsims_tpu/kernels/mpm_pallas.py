@@ -34,13 +34,9 @@ _S = 128      # padded row stride (lanes per cell row)
 _NCH = 16     # packed channels (see _step_dense's stacking order)
 
 
-def _bw(f):
-    """Quadratic B-spline weights for offsets 0,1,2 (tau_mpm.cu:138-147)."""
-    return (
-        0.5 * (1.5 - f) ** 2,
-        0.75 - (f - 1.0) ** 2,
-        0.5 * (f - 0.5) ** 2,
-    )
+# the solver's own weight helper: the bitwise-equality contract between
+# engines depends on both using the SAME formula object
+_bw = mpm_mod._bspline_w
 
 
 def _p2g_kernel(w0_ref, w1_ref, out_ref, *, cfg, Gx, Gy, K):

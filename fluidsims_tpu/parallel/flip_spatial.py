@@ -62,7 +62,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import cell_dense as cd
 from ..solvers import flip_apic as fa
 from ..solvers.flip_apic import _gshift, _w1
-from .spatial_common import compact as _compact, make_halo_ops, migrate
+from .spatial_common import make_halo_ops, migrate
 
 __all__ = ["SpatialFlipState", "shard_state", "make_sharded_run",
            "gather_state"]

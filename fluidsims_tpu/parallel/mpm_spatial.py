@@ -56,7 +56,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import cell_dense as cd
 from ..solvers import mpm
 from ..solvers.mpm import MATERIALS, _bspline_w, _plastic_and_stress
-from .spatial_common import compact as _compact, make_halo_ops, migrate
+from .spatial_common import make_halo_ops, migrate
 
 __all__ = ["SpatialMPMState", "shard_state", "make_sharded_run",
            "gather_state"]

@@ -65,7 +65,7 @@ from typing import NamedTuple
 from ..kernels import sph_pallas as sp
 from ..ops import cell_dense as cd
 from ..solvers import sph as sph_mod
-from .spatial_common import compact as _compact, migrate
+from .spatial_common import migrate
 
 __all__ = ["SpatialSPHState", "shard_state", "make_sharded_run",
            "gather_state"]

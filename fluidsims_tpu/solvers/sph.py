@@ -91,7 +91,7 @@ class SPHConfig(BaseConfig):
         self._require(self.c0 > 0, "c0 must be positive")
         self._require(self.visc_substeps >= 1, "visc_substeps >= 1")
         self._require(self.engine in ("auto", "pallas", "xla", "exact"),
-                      "engine must be auto, pallas or xla")
+                      "engine must be auto, pallas, xla or exact")
 
     @property
     def area(self):
