@@ -28,6 +28,9 @@ test:
 bench:
 	$(PY) bench.py
 
+tune:
+	$(PY) tools/tune_kernels.py
+
 dryrun:
 	JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 		$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"

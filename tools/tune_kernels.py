@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Sweep the tunable Pallas-engine configs on the attached TPU and record
+the winners.
+
+The reference auto-tunes CUDA tile sizes per SM generation
+(tau_hypersonic_cuda.cu:1420-1446); the TPU analog is this sweep over the
+temporal-blocking / residency knobs (block_k, band).  Each config runs in
+its OWN subprocess with a hard timeout: remote Mosaic compiles through the
+axon tunnel can stall for minutes (or hang), and one bad config must not
+kill the sweep.  Results go to TUNE.json at the repo root:
+
+    {"gray_scott": {"best": {...}, "results": [...]}, ...}
+
+Usage:
+    python tools/tune_kernels.py [solver ...]     # default: all
+    python tools/tune_kernels.py --timeout 300 gray_scott lbm
+
+A single measurement (used internally via subprocess):
+    python tools/tune_kernels.py --one gray_scott:k=16,band=256
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# per-solver sweep grids; None means the kernel's own auto choice
+SWEEPS = {
+    "gray_scott": [{"k": k, "band": b}
+                   for k in (8, 16, 32) for b in (256, 512)],
+    "lbm": [{"k": k, "band": b} for k in (4, 8, 16) for b in (64, 128)],
+    "shallow_water": [{"k": k} for k in (8, 16, 32)],
+    "burgers": [{"k": k} for k in (8, 16, 32)],
+}
+
+
+def _measure(solver: str, params: dict) -> float:
+    """Steps/sec of one engine config on the current backend (called in a
+    subprocess).  Mirrors bench.py's methodology: chained scans, one-element
+    device sync, best of 3 windows."""
+    sys.path.insert(0, ROOT)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+    import jax
+    import numpy as np
+
+    from fluidsims_tpu.core.stepper import scan_steps
+
+    def sync(tree):
+        x = jax.tree_util.tree_leaves(tree)[0]
+        np.asarray(x.ravel()[:1].block_until_ready())
+
+    def rate(fn, s0, n_calls, steps_per_call):
+        s = fn(s0)
+        sync(s)
+        best = 0.0
+        for _ in range(3):
+            st, t0 = s, time.perf_counter()
+            for _ in range(n_calls):
+                st = fn(st)
+            sync(st)
+            best = max(best, n_calls / (time.perf_counter() - t0))
+        return best * steps_per_call
+
+    k = params.get("k")
+    band = params.get("band")
+    if solver == "gray_scott":
+        from fluidsims_tpu.kernels.gray_scott_pallas import (
+            make_multistep_pallas)
+        from fluidsims_tpu.solvers import gray_scott as gs
+
+        cfg = gs.GrayScottConfig(nx=2048, ny=2048)
+        sup = make_multistep_pallas(cfg, k=k, band=band)
+        per = (512 // k) * k
+        f = jax.jit(lambda s: scan_steps(sup, s, 512 // k))
+        return rate(f, gs.init(cfg), 4, per)
+    if solver == "lbm":
+        from fluidsims_tpu.kernels.lbm_pallas import make_multistep_pallas
+        from fluidsims_tpu.solvers import lbm
+
+        cfg = lbm.LBMConfig(nx=2048, ny=1024)
+        sup = make_multistep_pallas(cfg, k=k, band=band)
+        per = (256 // k) * k
+        f = jax.jit(lambda s: scan_steps(sup, s, 256 // k))
+        return rate(f, lbm.init(cfg), 4, per)
+    if solver == "shallow_water":
+        from fluidsims_tpu.kernels.sw_resident_pallas import (
+            make_multistep_pallas)
+        from fluidsims_tpu.solvers import shallow_water as sw
+
+        cfg = sw.ShallowWaterConfig(nx=512, ny=512)
+        sup = make_multistep_pallas(cfg, k=k)
+        per = (1024 // k) * k
+        f = jax.jit(lambda s: scan_steps(sup, s, 1024 // k))
+        return rate(f, sw.init(cfg), 4, per)
+    if solver == "burgers":
+        from fluidsims_tpu.kernels.burgers_resident_pallas import (
+            make_multistep_pallas)
+        from fluidsims_tpu.solvers import burgers as bg
+
+        cfg = bg.BurgersConfig(nx=512, ny=512)
+        sup = make_multistep_pallas(cfg, k=k)
+        per = (1024 // k) * k
+        f = jax.jit(lambda s: scan_steps(sup, s, 1024 // k))
+        return rate(f, bg.init(cfg), 4, per)
+    raise SystemExit(f"unknown solver {solver}")
+
+
+def _parse_one(spec: str):
+    solver, _, kv = spec.partition(":")
+    params = {}
+    for item in filter(None, kv.split(",")):
+        key, _, val = item.partition("=")
+        params[key] = int(val)
+    return solver, params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("solvers", nargs="*", default=None)
+    ap.add_argument("--timeout", type=int, default=600,
+                    help="per-config subprocess timeout (compile stalls)")
+    ap.add_argument("--one", default=None,
+                    help="internal: measure one config and print JSON")
+    args = ap.parse_args(argv)
+
+    if args.one:
+        solver, params = _parse_one(args.one)
+        r = _measure(solver, params)
+        print(json.dumps({"steps_per_sec": r}))
+        return 0
+
+    solvers = args.solvers or list(SWEEPS)
+    out_path = os.path.join(ROOT, "TUNE.json")
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            results = json.load(fh)
+
+    for solver in solvers:
+        rows = []
+        for params in SWEEPS[solver]:
+            spec = solver + ":" + ",".join(
+                f"{k}={v}" for k, v in params.items())
+            cmd = [sys.executable, os.path.abspath(__file__), "--one", spec]
+            print(f"tune {spec} ...", flush=True)
+            try:
+                p = subprocess.run(
+                    cmd, capture_output=True, text=True, cwd=ROOT,
+                    timeout=args.timeout)
+                if p.returncode == 0:
+                    r = json.loads(p.stdout.strip().splitlines()[-1])
+                    rows.append({**params, **r})
+                    print(f"  -> {r['steps_per_sec']:.1f} steps/s",
+                          flush=True)
+                else:
+                    err = (p.stderr or "").strip().splitlines()
+                    rows.append({**params, "error": err[-1][:200] if err
+                                 else f"exit {p.returncode}"})
+                    print(f"  -> failed: {rows[-1]['error']}", flush=True)
+            except subprocess.TimeoutExpired:
+                rows.append({**params,
+                             "error": f"timeout {args.timeout}s (compile "
+                                      "stall?)"})
+                print("  -> timeout", flush=True)
+        ok = [r for r in rows if "steps_per_sec" in r]
+        results[solver] = {
+            "best": max(ok, key=lambda r: r["steps_per_sec"]) if ok else None,
+            "results": rows,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"{solver}: best = {results[solver]['best']}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
