@@ -105,6 +105,26 @@ def bench_hypersonic(jax, nx, ny, steps, impl):
     return rate, used, cfg
 
 
+
+def _pallas_engine_rate(spec, timeout=900):
+    """Measure a Pallas-engine config in a SUBPROCESS (tools/tune_kernels.py
+    --one): remote Mosaic compiles through the axon tunnel can stall for
+    minutes or hang outright, and a hung compile inside this process would
+    take the whole bench run down with it.  Returns steps/sec or raises."""
+    import json as _json
+    import subprocess
+
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "tune_kernels.py"),
+           "--one", spec]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+    if p.returncode != 0:
+        tail = (p.stderr or "").strip().splitlines()
+        raise RuntimeError(tail[-1][:160] if tail else f"exit {p.returncode}")
+    return _json.loads(p.stdout.strip().splitlines()[-1])["steps_per_sec"]
+
+
 def _sweep(jax):
     """One (metric, value, unit) per solver, each at its reference-default
     size.  Fast solvers use enough steps that each timing window runs
@@ -126,21 +146,21 @@ def _sweep(jax):
     def gray_scott():
         cfg = gs.GrayScottConfig(nx=2048, ny=2048)
         state = gs.init(cfg)
+        r = _chunked(jax, lambda s: gs.step(cfg, s), state, 2000, 500)
         if gs.resolve_engine(cfg) == "pallas":
             # K-step temporally-blocked kernel: one HBM round trip per
-            # block_k steps (the single-step update is HBM-bound)
+            # block_k steps (the single-step update is HBM-bound);
+            # measured in a subprocess so a compile stall cannot hang
+            # the bench
             try:
-                from fluidsims_tpu.kernels.gray_scott_pallas import (
-                    make_multistep_pallas)
-
-                K = cfg.block_k
-                sup = make_multistep_pallas(cfg, k=K)
-                r = _chunked(jax, sup, state, 2000 // K, 500 // K) * K
-                return "gray_scott_2048x2048_steps_per_sec", r, "steps/sec"
+                rp = _pallas_engine_rate(f"gray_scott:k={cfg.block_k}")
+                print(f"# gray_scott engines: xla {r:.1f} steps/s, "
+                      f"pallas(k={cfg.block_k}) {rp:.1f} steps/s",
+                      file=sys.stderr)
+                r = max(r, rp)
             except Exception as e:
                 print(f"# gray_scott pallas engine failed, using xla: "
                       f"{str(e)[:120]}", file=sys.stderr)
-        r = _chunked(jax, lambda s: gs.step(cfg, s), state, 2000, 500)
         return "gray_scott_2048x2048_steps_per_sec", r, "steps/sec"
 
     def burgers():
@@ -148,17 +168,13 @@ def _sweep(jax):
         state = bg.init(cfg)
         r = _chunked(jax, lambda s: bg.step(cfg, s), state, 4000, 1000)
         if jax.default_backend() == "tpu":
-            # also measure the whole-solve VMEM-resident K-step kernel
-            # and report the better engine
+            # also measure the whole-solve VMEM-resident K-step kernel,
+            # subprocess-isolated against compile stalls
             try:
-                from fluidsims_tpu.kernels.burgers_resident_pallas import (
-                    make_multistep_pallas)
-
-                K = cfg.block_k
-                sup = make_multistep_pallas(cfg, k=K)
-                rp = _chunked(jax, sup, state, 4000 // K, 1000 // K) * K
+                rp = _pallas_engine_rate(f"burgers:k={cfg.block_k}")
                 print(f"# burgers engines: xla {r:.1f} steps/s, "
-                      f"pallas(k={K}) {rp:.1f} steps/s", file=sys.stderr)
+                      f"pallas(k={cfg.block_k}) {rp:.1f} steps/s",
+                      file=sys.stderr)
                 r = max(r, rp)
             except Exception as e:
                 print(f"# burgers pallas engine failed, using xla: "
@@ -170,17 +186,13 @@ def _sweep(jax):
         state = sw.init(cfg)
         r = _chunked(jax, lambda s: sw.step(cfg, s), state, 4000, 1000)
         if jax.default_backend() == "tpu":
-            # also measure the whole-solve VMEM-resident K-step kernel
-            # and report the better engine
+            # also measure the whole-solve VMEM-resident K-step kernel,
+            # subprocess-isolated against compile stalls
             try:
-                from fluidsims_tpu.kernels.sw_resident_pallas import (
-                    make_multistep_pallas)
-
-                K = cfg.block_k
-                sup = make_multistep_pallas(cfg, k=K)
-                rp = _chunked(jax, sup, state, 4000 // K, 1000 // K) * K
+                rp = _pallas_engine_rate(f"shallow_water:k={cfg.block_k}")
                 print(f"# shallow_water engines: xla {r:.1f} steps/s, "
-                      f"pallas(k={K}) {rp:.1f} steps/s", file=sys.stderr)
+                      f"pallas(k={cfg.block_k}) {rp:.1f} steps/s",
+                      file=sys.stderr)
                 r = max(r, rp)
             except Exception as e:
                 print(f"# shallow_water pallas engine failed, using xla: "
@@ -199,16 +211,12 @@ def _sweep(jax):
         if lbm.pallas_eligible(cfg) and jax.default_backend() == "tpu":
             # also measure the K-step temporally-blocked kernel (one HBM
             # round trip per block_k steps; the single-step update is
-            # HBM-bound) and report the better engine
+            # HBM-bound), subprocess-isolated against compile stalls
             try:
-                from fluidsims_tpu.kernels.lbm_pallas import (
-                    make_multistep_pallas)
-
-                K = cfg.block_k
-                sup = make_multistep_pallas(cfg, k=K)
-                rp = _chunked(jax, sup, state, 1000 // K, 250 // K) * K
-                print(f"# lbm engines: xla {r:.1f} steps/s, pallas(k={K}) "
-                      f"{rp:.1f} steps/s", file=sys.stderr)
+                rp = _pallas_engine_rate(f"lbm:k={cfg.block_k}")
+                print(f"# lbm engines: xla {r:.1f} steps/s, "
+                      f"pallas(k={cfg.block_k}) {rp:.1f} steps/s",
+                      file=sys.stderr)
                 r = max(r, rp)
             except Exception as e:
                 print(f"# lbm pallas engine failed, using xla: "
@@ -281,6 +289,14 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
+    # Some JAX builds read the platform list only from config, not the
+    # JAX_PLATFORMS env var — honor it explicitly so a CPU smoke run
+    # (`JAX_PLATFORMS=cpu python bench.py`) works everywhere.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
 
     nx = int(os.environ.get("FST_BENCH_NX", "2048"))
     ny = int(os.environ.get("FST_BENCH_NY", "2048"))

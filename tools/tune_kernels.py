@@ -49,6 +49,13 @@ def _measure(solver: str, params: dict) -> float:
     import jax
     import numpy as np
 
+    # some JAX builds read the platform list only from config
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
     from fluidsims_tpu.core.stepper import scan_steps
 
     def sync(tree):
