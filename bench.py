@@ -292,7 +292,8 @@ def main():
     # Some JAX builds read the platform list only from config, not the
     # JAX_PLATFORMS env var — honor it explicitly so a CPU smoke run
     # (`JAX_PLATFORMS=cpu python bench.py`) works everywhere.
-    if os.environ.get("JAX_PLATFORMS"):
+    if os.environ.get("JAX_PLATFORMS") and not getattr(
+            jax.config, "jax_platforms", None):
         try:
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:

@@ -1542,7 +1542,11 @@ def main(argv=None):
     # Some JAX builds read the platform list only from config, not the
     # JAX_PLATFORMS env var — honor the env var explicitly so
     # `JAX_PLATFORMS=cpu python -m fluidsims_tpu.cli ...` works everywhere.
-    if os.environ.get("JAX_PLATFORMS"):
+    # Only when the config is still unset: a test harness that already did
+    # config.update("jax_platforms", "cpu") must not be overridden by a
+    # stale env var from the outer environment.
+    if os.environ.get("JAX_PLATFORMS") and not getattr(
+            jax.config, "jax_platforms", None):
         try:
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:

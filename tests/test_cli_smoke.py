@@ -1,0 +1,83 @@
+"""CLI smoke tests: every subcommand runs headless end-to-end at a tiny
+size (the reference's demos are CLI programs first — tau_*.cu main(); this
+guards the arg plumbing the solver unit tests never touch)."""
+
+import sys
+
+import pytest
+
+from fluidsims_tpu.cli import main
+
+# (argv, ) per subcommand — tiny shapes, a handful of steps, headless
+CASES = [
+    ["gray-scott", "--nx", "64", "--ny", "32", "--steps", "5",
+     "--headless"],
+    ["burgers", "--nx", "32", "--ny", "32", "--steps", "5", "--headless"],
+    ["burgers", "--colehopf", "--dtau", "1e-3", "--steps", "5",
+     "--nx", "64", "--headless"],
+    ["shallow-water", "--nx", "32", "--ny", "32", "--steps", "5",
+     "--headless"],
+    ["lbm", "--nx", "32", "--ny", "32", "--steps", "5", "--headless"],
+    ["hypersonic2d", "--nx", "64", "--ny", "32", "--steps", "3",
+     "--headless"],
+    ["mhd", "--nx", "48", "--ny", "33", "--steps", "5", "--headless"],
+    ["stam2d", "--n", "32", "--steps", "3", "--headless"],
+    ["stam3d", "--n", "16", "--steps", "2", "--headless"],
+    ["sph", "--n", "256", "--steps", "2", "--headless"],
+    ["flip", "--particles", "256", "--grid", "32", "--steps", "2",
+     "--headless"],
+    ["mpm", "--n", "256", "--gx", "32", "--gy", "32", "--steps", "2",
+     "--headless"],
+    ["hypersonic3d", "--n", "16", "--steps", "2", "--headless"],
+    ["hypersonic2d-cpu", "--nx", "24", "--ny", "24", "--steps", "2"],
+    ["nbody", "--max-number", "256", "--steps", "2", "--headless"],
+]
+
+
+@pytest.mark.parametrize("argv", CASES, ids=lambda a: " ".join(a[:3]))
+def test_subcommand_headless(argv, capsys):
+    assert main(argv) == 0
+    out = capsys.readouterr().out
+    assert argv[0].split("-")[0] in out or "steps" in out
+
+
+def test_steps_zero_does_not_crash(capsys):
+    # ADVICE r2: chunk = min(chunk, steps) made --steps 0 divide by zero
+    assert main(["gray-scott", "--nx", "32", "--ny", "32", "--steps", "0",
+                 "--headless"]) == 0
+
+
+def test_png_warning_when_unsupported(capsys, tmp_path):
+    # --png is registered globally but silently no-oped for solvers
+    # without an RGB export; ADVICE r2 asked for a warning
+    png = str(tmp_path / "o.png")
+    assert main(["sph", "--n", "64", "--steps", "1", "--headless",
+                 "--png", png]) == 0
+    err = capsys.readouterr().err
+    assert "no effect" in err or "WARNING" in err
+
+
+def test_engine_validation_error_is_clean():
+    # forcing an ineligible pallas engine must raise the config error,
+    # not a kernel traceback
+    with pytest.raises(Exception) as ei:
+        main(["gray-scott", "--nx", "100", "--ny", "32", "--steps", "1",
+              "--headless", "--engine", "pallas"])
+    assert "pallas" in str(ei.value) or "128" in str(ei.value)
+
+
+def test_hypersonic2d_cpu_rejects_interactive():
+    # the batch oracle solver has no interactive loop; argparse rejects
+    # the flag outright (the cmd-level warning covers programmatic use)
+    with pytest.raises(SystemExit):
+        main(["hypersonic2d-cpu", "--nx", "24", "--ny", "24",
+              "--steps", "1", "--interactive"])
+
+
+def test_th3cs_export_smoke(tmp_path):
+    out = str(tmp_path / "t.4spl")
+    assert main(["th3cs", "--n", "16", "--frames", "2",
+                 "--steps-per-frame", "1", "--out", out]) == 0
+    import os
+
+    assert os.path.getsize(out) > 32  # header + palette + frames

@@ -50,7 +50,8 @@ def _measure(solver: str, params: dict) -> float:
     import numpy as np
 
     # some JAX builds read the platform list only from config
-    if os.environ.get("JAX_PLATFORMS"):
+    if os.environ.get("JAX_PLATFORMS") and not getattr(
+            jax.config, "jax_platforms", None):
         try:
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
