@@ -147,3 +147,37 @@ def test_lbm_engine_validation():
     with pytest.raises(ValueError):
         lbm.resolve_engine(cfg)   # nx not a lane multiple
     assert lbm.resolve_engine(lbm.LBMConfig(nx=100, ny=64)) == "xla"
+
+
+def test_poiseuille_matches_analytic():
+    """Analytic validation the reference lacks: body-forced channel flow
+    relaxes to the exact Poiseuille parabola u(y) = a/(2 nu) * y (H - y)
+    with nu = cs^2 (tau - 1/2) and the on-link bounce-back wall plane
+    sitting half a cell inside the solid rows.  The velocity-shift
+    forcing (u_eq = u + drive) injects omega*rho*drive of momentum per
+    step, so the effective acceleration is a = drive/tau.  Validates
+    the viscosity relation, the forcing normalization, and the wall
+    placement in one measurement."""
+    tau, drive = 0.8, 1e-6
+    cfg = lbm.LBMConfig(nx=32, ny=34, tau=tau, drive=drive, obstacle=False)
+    s0 = lbm.init(cfg)
+    # start from rest (init seeds a sinusoidal shear)
+    f0 = np.stack([
+        lbm.feq(q, cfg.rho0, np.zeros((34, 32)), np.zeros((34, 32)))
+        for q in range(9)
+    ])
+    import jax.numpy as jnp
+
+    s = lbm.LBMState(f=jnp.asarray(f0, jnp.float32), solid=s0.solid)
+    s = jax.jit(lambda st: lbm.run(cfg, st, 20000))(s)
+
+    _, ux, _ = lbm.macroscopic(s.f)
+    prof = np.asarray(ux)[:, 16]
+    nu = (tau - 0.5) / 3.0          # cs^2 (tau - 1/2), cs^2 = 1/3
+    a = drive / tau                  # velocity-shift forcing
+    y = np.arange(34) - 0.5          # wall planes at y=0 and y=H
+    H = 32.0
+    exact = a / (2 * nu) * y * (H - y)
+    fl = slice(1, 33)
+    rel = np.abs(prof[fl] - exact[fl]) / exact[fl].max()
+    assert rel.max() < 0.02, rel.max()
