@@ -1498,6 +1498,9 @@ def build_parser():
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--native", action="store_true",
                    help="use the C build (bitwise-equal to the NumPy path)")
+    p.add_argument("--interactive", action="store_true",
+                   help="accepted for symmetry with the other solvers; "
+                        "warns and runs the batch oracle")
     p.set_defaults(fn=cmd_hypersonic2d_cpu)
 
     p = sub.add_parser("nbody",

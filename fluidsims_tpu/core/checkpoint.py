@@ -36,9 +36,14 @@ def save_state(path, state) -> None:
     np.savez_compressed(path, **payload)
 
 
-def load_state(path, like) -> object:
+def load_state(path, like, strict: bool = True) -> object:
     """Load a state saved by save_state; `like` provides the tree structure
-    (and target dtypes) to restore into."""
+    (and target dtypes) to restore into.
+
+    `strict=False` downgrades the legacy-checkpoint treedef-mismatch
+    error to a warning (escape hatch for pre-__state_class__ files after
+    a JAX upgrade reworded the treedef repr; the per-leaf
+    count/shape/dtype checks still apply)."""
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves)
@@ -65,14 +70,16 @@ def load_state(path, like) -> object:
                 "(may be a JAX version change); "
                 f"\n  saved:    {saved_td}\n  template: {treedef}"
             )
-            if "__state_class__" in data:
+            if "__state_class__" in data or not strict:
                 import warnings
 
                 warnings.warn(
-                    msg + "\nstate class matches; validating leaf "
-                    "count and shapes instead")
+                    msg + "\nvalidating leaf count and shapes instead")
             else:
-                raise ValueError(msg)
+                raise ValueError(
+                    msg + "\n(legacy checkpoint without __state_class__: "
+                    "same-shape field permutations are undetectable; pass "
+                    "strict=False to load_state to accept it anyway)")
     restored = []
     for i, ref in enumerate(leaves):
         if f"leaf_{i}" not in data:

@@ -93,12 +93,16 @@ def make_sharded_run(cfg: fa.FlipApicConfig, mesh: Mesh, n_steps: int,
             f"particles={cfg.particles} not divisible by {n_dev} devices")
     # per-device config: the cell-dense capacity auto-sizes down with the
     # local particle count (interleaved shards thin every cell uniformly).
-    # engine pinned to 'dense': 'auto' resolves to the Pallas transfer
+    # 'auto' is pinned to 'dense' here: it resolves to the Pallas transfer
     # kernels on TPU, and pallas_call under shard_map with a psum
     # grid_reduce is an unexercised composition (the kernels buy ~8%
-    # single-chip; not worth the untested path here)
+    # single-chip; not worth the untested path).  An EXPLICIT engine
+    # choice (dense/scatter) is honored — only the auto/pallas resolution
+    # is redirected.
+    local_engine = ("dense" if cfg.engine in ("auto", "pallas")
+                    else cfg.engine)
     cfg_local = replace(cfg, particles=cfg.particles // n_dev,
-                        engine="dense")
+                        engine=local_engine)
 
     body = functools.partial(_local_steps, cfg_local, axis, n_steps)
     sharded = jax.shard_map(

@@ -66,12 +66,12 @@ def test_engine_validation_error_is_clean():
     assert "pallas" in str(ei.value) or "128" in str(ei.value)
 
 
-def test_hypersonic2d_cpu_rejects_interactive():
-    # the batch oracle solver has no interactive loop; argparse rejects
-    # the flag outright (the cmd-level warning covers programmatic use)
-    with pytest.raises(SystemExit):
-        main(["hypersonic2d-cpu", "--nx", "24", "--ny", "24",
-              "--steps", "1", "--interactive"])
+def test_hypersonic2d_cpu_interactive_warns(capsys):
+    # the batch oracle solver has no interactive loop; the flag is
+    # accepted for subcommand symmetry, warns, and runs batch
+    assert main(["hypersonic2d-cpu", "--nx", "24", "--ny", "24",
+                 "--steps", "1", "--interactive"]) == 0
+    assert "no effect" in capsys.readouterr().err
 
 
 def test_th3cs_export_smoke(tmp_path):

@@ -66,6 +66,14 @@ def _measure(solver: str, params: dict) -> float:
     def rate(fn, s0, n_calls, steps_per_call):
         s = fn(s0)
         sync(s)
+        # size the window to >= 0.5 s: the ~10 ms tunnel dispatch+sync
+        # latency otherwise depresses fast configs 5-15% (bench.py
+        # methodology; BASELINE round-2 postmortem)
+        t0 = time.perf_counter()
+        s = fn(s)
+        sync(s)
+        per_call = max(time.perf_counter() - t0, 1e-5)
+        n_calls = max(n_calls, int(0.5 / per_call) + 1)
         best = 0.0
         for _ in range(3):
             st, t0 = s, time.perf_counter()
@@ -121,10 +129,15 @@ def _measure(solver: str, params: dict) -> float:
 
 def _parse_one(spec: str):
     solver, _, kv = spec.partition(":")
+    if solver not in SWEEPS:
+        raise SystemExit(
+            f"unknown solver {solver!r}; choose from {sorted(SWEEPS)}")
     params = {}
     for item in filter(None, kv.split(",")):
         key, _, val = item.partition("=")
         params[key] = int(val)
+    if "k" not in params:
+        raise SystemExit(f"spec {spec!r} needs k=<steps>, e.g. {solver}:k=16")
     return solver, params
 
 
@@ -144,6 +157,10 @@ def main(argv=None):
         return 0
 
     solvers = args.solvers or list(SWEEPS)
+    unknown = [s for s in solvers if s not in SWEEPS]
+    if unknown:
+        raise SystemExit(
+            f"unknown solver(s) {unknown}; choose from {sorted(SWEEPS)}")
     out_path = os.path.join(ROOT, "TUNE.json")
     results = {}
     if os.path.exists(out_path):
