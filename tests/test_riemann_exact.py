@@ -1,0 +1,125 @@
+"""Exact-Riemann (shock tube) analytic gates for the flagship Euler solver.
+
+The reference's only convergence-against-truth harness is Cole-Hopf for
+Burgers (tau_burgers.cu:16-19,720-736); it ships no analytic test for its
+Euler solvers.  This gate is stricter: the flagship 2-D solver, run as a
+1-D shock tube (y-uniform data, viscosity off, obstacle out of domain),
+must match the exact self-similar Riemann solution (Toro ch. 4,
+tests/oracles/riemann_exact.py).
+
+Setup note: the solver's left x-pad is the inflow state (rho=1, p=1,
+u=M*sqrt(gamma), solvers/hypersonic2d.py pad_bc) — with inflow_mach ~ 0
+that IS the Sod left state, so the Sod tube runs with exact boundary
+states.  The double-rarefaction tube's left state does not match the pad,
+so it runs short enough that the boundary transient never reaches the fan
+(waves cover < nx/4 cells); its tolerance is loose — it is a
+near-vacuum positivity/robustness gate, not a convergence gate.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fluidsims_tpu.ops import euler2d as e2
+from fluidsims_tpu.solvers import hypersonic2d as h2
+from tests.oracles.riemann_exact import sample, solve_star
+
+GAMMA = 1.4
+
+
+def _tube_cfg(nx, ny=4, cfl=0.4):
+    # Obstacle pushed out of the domain (geom_x0 = -1e6 puts the whole SDF
+    # at sd > 0) and all explicit viscosity off: pure Euler.
+    return h2.Hypersonic2DConfig(
+        nx=nx, ny=ny, gamma=GAMMA, cfl=cfl,
+        visc_nu=0.0, visc_rho=0.0, visc_e=0.0, inflow_mach=1e-9,
+        geom_x0=-1e6, geom_cy=ny / 2.0, geom_Rb=ny / 12.0,
+        geom_Rn=ny / 24.0, dtype="float64",
+    )
+
+
+def _run_tube(nx, steps, left, right):
+    """Run a y-uniform Riemann problem; return (xi, rho, u, p, t_end)."""
+    cfg = _tube_cfg(nx)
+    mask = h2.build_mask(cfg)
+    assert not bool(np.asarray(mask).any()), "obstacle must be out of domain"
+    dt = cfg.jax_dtype
+    ny = cfg.ny
+    x_half = nx // 2
+    sel = (jnp.arange(nx) < x_half)[None, :]
+
+    def f(a, b):
+        return jnp.where(sel, a, b).repeat(ny, 0).astype(dt)
+
+    U = e2.prim_to_cons(
+        e2.Prim(f(left[0], right[0]), f(left[1], right[1]),
+                jnp.zeros((ny, nx), dt), f(left[2], right[2])),
+        cfg.gamma,
+    )
+    s = h2.Hypersonic2DState(U=U, mask=mask, t=jnp.asarray(0.0, dt))
+    s = h2.run(cfg, s, steps)
+    t_end = float(s.t)
+    q = e2.cons_to_prim(s.U, cfg.gamma)
+    rho = np.asarray(q.rho)
+    # y-uniform data must stay exactly y-uniform (v=0, equal-state y fluxes)
+    assert np.abs(rho - rho[ny // 2][None, :]).max() == 0.0
+    xi = (np.arange(nx) + 0.5 - x_half) / t_end
+    return xi, rho[ny // 2], np.asarray(q.u)[ny // 2], np.asarray(q.p)[ny // 2], t_end
+
+
+def _rel_l1(num, exact):
+    return float(np.abs(num - exact).mean() / np.abs(exact).mean())
+
+
+def test_star_state_matches_toro():
+    # Published star values (Toro table 4.2): Sod and the 123 problem.
+    p, u = solve_star(1.0, 0.0, 1.0, 0.125, 0.0, 0.1, GAMMA)
+    assert abs(p - 0.30313) < 1e-5 and abs(u - 0.92745) < 1e-5
+    p, u = solve_star(1.0, -2.0, 0.4, 1.0, 2.0, 0.4, GAMMA)
+    assert abs(p - 0.00189) < 1e-5 and abs(u) < 1e-12
+
+
+def test_sod_shock_tube_matches_exact():
+    left, right = (1.0, 0.0, 1.0), (0.125, 0.0, 0.1)
+    xi, rho, u, p, t_end = _run_tube(600, 300, left, right)
+    re, ue, pe = sample(xi, *left, *right, GAMMA)
+    # waves must stay far from both x boundaries: exact solution still at
+    # the initial left/right states in the outer 60 cells
+    assert np.abs(re[:60] - left[0]).max() < 1e-12
+    assert np.abs(re[-60:] - right[0]).max() < 1e-12
+    # MUSCL-Hancock+HLLC at 600 cells: measured rel L1 ~ 0.24% rho,
+    # 0.17% p (discontinuity smearing dominates)
+    assert _rel_l1(rho, re) < 6e-3
+    assert _rel_l1(p, pe) < 5e-3
+    assert np.abs(u - ue).mean() < 8e-3
+    # the shock (rightmost jump) must sit at the exact shock speed +-2 cells
+    p_s, u_s = solve_star(*left, *right, GAMMA)
+    a_r = np.sqrt(GAMMA * right[2] / right[0])
+    gp, gm = (GAMMA + 1) / (2 * GAMMA), (GAMMA - 1) / (2 * GAMMA)
+    s_shock = right[1] + a_r * np.sqrt(gp * p_s / right[2] + gm)
+    rho_post = right[0] * ((p_s / right[2] + (GAMMA - 1) / (GAMMA + 1))
+                           / ((GAMMA - 1) / (GAMMA + 1) * p_s / right[2] + 1))
+    thresh = 0.5 * (right[0] + rho_post)   # halfway up the shock jump
+    i_num = np.where(rho > thresh)[0].max()
+    assert abs(xi[i_num] - s_shock) * t_end < 2.5
+
+
+def test_double_rarefaction_positivity_and_symmetry():
+    # Symmetric expansion (scaled-down Toro 123): near-vacuum center.
+    left, right = (1.0, -0.4, 0.4), (1.0, 0.4, 0.4)
+    xi, rho, u, p, t_end = _run_tube(600, 100, left, right)
+    assert (rho > 0).all() and (p > 0).all()
+    re, ue, pe = sample(xi, *left, *right, GAMMA)
+    # The left x-pad (inflow: p=1 vs local 0.4) launches a transient from
+    # x=0 that reaches ~25 cells by t~34; compare on the interior window.
+    w = slice(100, 500)
+    assert _rel_l1(rho[w], re[w]) < 6e-3      # measured 0.23%
+    assert _rel_l1(p[w], pe[w]) < 6e-3        # measured 0.25%
+    # exact solution is symmetric: u antisymmetric, rho symmetric — and the
+    # discrete scheme preserves it to round-off away from the boundaries
+    assert np.abs(u[w] + u[::-1][w]).max() < 1e-12
+    assert np.abs(rho[w] - rho[::-1][w]).max() < 1e-12
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
