@@ -330,6 +330,8 @@ def evib_eq_py(cfg, T: float) -> float:
     import math
 
     a = cfg.theta_v / max(T, NEWTON_TEMP_FLOOR)
+    if a > 700.0:  # exp would overflow float64; e_vib^eq underflows to 0
+        return 0.0
     denom = max(math.exp(a) - 1.0, NEWTON_TEMP_FLOOR)
     return (cfg.R * cfg.theta_v) / denom
 

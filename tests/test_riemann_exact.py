@@ -121,5 +121,83 @@ def test_double_rarefaction_positivity_and_symmetry():
     assert np.abs(rho[w] - rho[::-1][w]).max() < 1e-12
 
 
+def test_sod_shock_tube_3d_weno_matches_exact():
+    """The 3-D WENO5+HLLC solver as a 1-D Sod tube (y/z-uniform, periodic).
+
+    Physics switches: sphere out of domain, sponges off (sponge_n=0),
+    Landau-Teller frozen (tau_vib=1e9), vibrational mode frozen out
+    (theta_v=1e3 => e_v^eq ~ 0, e_v stays at the 1e-10 seed) — a pure
+    gamma-law gas at gamma_floor=1.4.  The left x-pad is the inflow
+    primitives (rho=1, u=0, p=1) = the Sod left state; the right
+    (transmissive-outflow) boundary relaxes subsonic outlet pressure
+    toward inflow_p per the reference (tau_hypersonic_3d_cuda.cu:691-722),
+    which launches a left-moving wave from x=1 — the comparison window
+    [0.1, 0.8] excludes it (it reaches ~x=0.85 by t~0.1).
+
+    The state clock t = t0*e^(sum dtau) differs from the integrated
+    physics time sum(dt) by O(dtau) per step, so the exact solution is
+    sampled at the accumulated sum of the per-step dt actually applied.
+    """
+    import jax
+    from jax import lax
+
+    from fluidsims_tpu.solvers import hypersonic3d as h3
+
+    nx, nyz = 256, 4
+    cfg = h3.Hypersonic3DConfig(
+        nx=nx, ny=nyz, nz=nyz, dx=1.0 / nx, dy=1.0 / nx, dz=1.0 / nx,
+        cfl=0.3333, u_ref=10.0, R=1.0, gamma_floor=GAMMA, Twall=0.02,
+        tau_vib=1e9, theta_v=1e3,
+        sdf_cx=-100.0, sdf_cy=0.5, sdf_cz=0.5, sdf_r=0.25,
+        inflow_r=1.0, inflow_p=1.0, inflow_u=0.0,
+        sponge_n=0, sponge_out_n=0,
+        t0=1e-3, dtau0=5e-3, dtype="float64",
+    )
+    solid = jnp.asarray(h3.build_solid(cfg))
+    assert not bool(np.asarray(solid).any())
+    dt64 = cfg.jax_dtype
+    shape = (nyz, nyz, nx)
+    x = (np.arange(nx) + 0.5) / nx
+    sel = jnp.asarray(x < 0.5)[None, None, :]
+
+    def f(a, b):
+        return jnp.where(sel, a, b) * jnp.ones(shape, dt64)
+
+    q = h3.PrimT(r=f(1.0, 0.125), u=jnp.zeros(shape, dt64),
+                 v=jnp.zeros(shape, dt64), w=jnp.zeros(shape, dt64),
+                 p=f(1.0, 0.1), ev=jnp.full(shape, 1e-10, dt64))
+    xi0, phix, phiy, phiz, lam, zet = h3._encode(cfg, q)
+    s = h3.Hypersonic3DState(
+        xi=xi0, phix=phix, phiy=phiy, phiz=phiz, lam=lam, zet=zet,
+        solid=solid, t=jnp.asarray(cfg.t0, dt64),
+        dtau=jnp.asarray(cfg.dtau0, dt64),
+    )
+
+    def body(carry, _):
+        st, acc = carry
+        dt_step = st.t * jnp.exp(st.dtau) * st.dtau  # the step's own dt
+        return (h3.step(cfg, st), acc + dt_step), None
+
+    (s, t_eff), _ = jax.jit(
+        lambda c: lax.scan(body, c, None, length=400)
+    )((s, jnp.asarray(0.0, dt64)))
+    t_eff = float(t_eff)
+    assert 0.05 < t_eff < 0.16  # waves resolved, boundary wave still clear
+
+    rho = np.asarray(jnp.exp(s.xi))[nyz // 2, nyz // 2]
+    u = np.asarray(cfg.u_ref * jnp.sinh(s.phix))[nyz // 2, nyz // 2]
+    p = np.asarray(jnp.exp(s.lam))[nyz // 2, nyz // 2]
+    # y/z-uniformity must be preserved exactly
+    assert np.abs(np.asarray(s.xi) - np.asarray(s.xi)[0, 0][None, None, :]).max() == 0.0
+
+    left, right = (1.0, 0.0, 1.0), (0.125, 0.0, 0.1)
+    re, ue, pe = sample((x - 0.5) / t_eff, *left, *right, GAMMA)
+    w = (x > 0.1) & (x < 0.80)
+    # measured: 0.35% rho, 0.28% p, 0.0046 u at 256 cells
+    assert _rel_l1(rho[w], re[w]) < 8e-3
+    assert _rel_l1(p[w], pe[w]) < 7e-3
+    assert np.abs(u[w] - ue[w]).mean() < 1.2e-2
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
