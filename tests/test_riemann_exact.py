@@ -199,5 +199,108 @@ def test_sod_shock_tube_3d_weno_matches_exact():
     assert np.abs(u[w] - ue[w]).mean() < 1.2e-2
 
 
+def test_mhd_hydro_limit_matches_exact_euler():
+    """The GLM-MHD solver with B=psi=0 is exactly 2-D Euler, so the Sod
+    tube must match the exact Euler Riemann solution.
+
+    Gate runs stable_hll=True (the textbook HLL sign); the default
+    anti-diffusive FHLL (reference parity, tau_mhd.c:123) is excluded —
+    it survives Brio-Wu via the invalid-revert but diverges on this tube.
+    The reference scheme zeroes boundary-face fluxes (face loop bounds,
+    tau_mhd.c:164-167), which leaks momentum at both x edges and drives
+    inward waves, so the run is short and the comparison windowed.
+    """
+    from fluidsims_tpu.solvers import mhd
+
+    nx, ny = 600, 6
+    cfg = mhd.MHDConfig(nx=nx, ny=ny, gamma=GAMMA, cfl=0.22,
+                        stable_hll=True, dtype="float64")
+    dt64 = cfg.jax_dtype
+    xp = (np.arange(nx) + 0.5) / nx   # unit square: dx = 1/nx
+    sel = jnp.asarray(xp < 0.5)[None, :]
+
+    def f(a, b):
+        return jnp.where(sel, a, b) * jnp.ones((ny, nx), dt64)
+
+    z = jnp.zeros((ny, nx), dt64)
+    U = mhd.prim_to_cons(
+        mhd.PrimM(rho=f(1.0, 0.125), u=z, v=z, p=f(1.0, 0.1),
+                  Bx=z, By=z, psi=z), cfg.gamma)
+    s = mhd.run(cfg, mhd.MHDState(U=U, t=jnp.asarray(0.0, dt64)), 600)
+    t_end = float(s.t)
+    assert 0.03 < t_end < 0.055  # boundary waves stay outside the window
+
+    q = mhd.cons_to_prim(s.U, cfg.gamma)
+    # B and psi must stay identically zero (hydro limit is exact)
+    assert np.abs(np.asarray(q.Bx)).max() == 0.0
+    assert np.abs(np.asarray(q.By)).max() == 0.0
+
+    rho = np.asarray(q.rho)[ny // 2]
+    p = np.asarray(q.p)[ny // 2]
+    re, ue, pe = sample((xp - 0.5) / t_end, 1.0, 0.0, 1.0,
+                        0.125, 0.0, 0.1, GAMMA)
+    w = (xp > 0.2) & (xp < 0.85)
+    # measured: 1.8% rho, 2.2% p (first-order HLL, ~45-cell fan)
+    assert _rel_l1(rho[w], re[w]) < 0.035
+    assert _rel_l1(p[w], pe[w]) < 0.04
+
+
+def test_shallow_water_dam_break_matches_exact():
+    """The log-depth HLL shallow-water solver as a 1-D dam break must
+    match the exact wet-bed SWE Riemann solution (Stoker problem;
+    tests/oracles/swe_riemann_exact.py).
+
+    The domain is periodic (shift_wrapped), so the x=0/nx seam is a
+    second, mirrored dam break; the run is short enough that both seam
+    waves (rarefaction head c=3.13 cells/t rightward, bore ~2.6 leftward)
+    stay outside the comparison window.  dt = min(t*dtau, CFL); the
+    physical time is the accumulated per-step dt, recomputed here with
+    the solver's own formula.
+    """
+    import jax
+    from jax import lax
+
+    from fluidsims_tpu.solvers import shallow_water as sw
+    from tests.oracles.swe_riemann_exact import sample as swe_sample
+
+    nx, ny, g = 600, 4, 9.81
+    cfg = sw.ShallowWaterConfig(
+        nx=nx, ny=ny, dx=1.0, dy=1.0, g=g, nu=0.0, H0=1.0, bump_amp=0.0,
+        swirl=0.0, cfl=0.45, t0=1.0, dtau=1.0, dtype="float64")
+    dt64 = cfg.jax_dtype
+    x = np.arange(nx) + 0.5
+    x_half = nx // 2
+    h0 = np.where(x < x_half, 1.0, 0.1)
+    sigma0 = jnp.asarray(np.log(np.tile(h0, (ny, 1))), dt64)
+    z = jnp.zeros((ny, nx), dt64)
+
+    def body(carry, _):
+        sig, u, v, t, acc = carry
+        h = jnp.exp(sig)
+        c = jnp.sqrt(cfg.g * h)
+        cmax = jnp.maximum(
+            jnp.max(jnp.maximum(jnp.abs(u) + c, jnp.abs(v) + c)), 1e-12)
+        dt = jnp.minimum(t * cfg.dtau,
+                         cfg.cfl * min(cfg.dx, cfg.dy) / cmax)
+        sig2, u2, v2 = sw.step_fields(cfg, sig, u, v, t)
+        return (sig2, u2, v2, t * jnp.exp(jnp.asarray(cfg.dtau, dt64)),
+                acc + dt), None
+
+    (sig, u, v, _, t_eff), _ = jax.jit(
+        lambda c: lax.scan(body, c, None, length=400)
+    )((sigma0, z, z, jnp.asarray(cfg.t0, dt64), jnp.asarray(0.0, dt64)))
+    t_eff = float(t_eff)
+    assert 30.0 < t_eff < 45.0  # seam waves (3.13 c/t) stay below x=150
+
+    h = np.asarray(jnp.exp(sig))[ny // 2]
+    un = np.asarray(u)[ny // 2]
+    he, ue = swe_sample((x - x_half) / t_eff, 1.0, 0.0, 0.1, 0.0, g)
+    w = (x > 160) & (x < 450)
+    # measured: 1.1% h, 0.027 u mae at 600 cells
+    assert _rel_l1(h[w], he[w]) < 0.025
+    assert np.abs(un[w] - ue[w]).mean() < 0.06
+    assert (h > 0).all()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
