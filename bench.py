@@ -202,6 +202,19 @@ def _sweep(jax):
     def mhd_b():
         cfg = mhd.MHDConfig()
         r = _chunked(jax, lambda s: mhd.step(cfg, s), mhd.init(cfg), 4000, 1000)
+        if jax.default_backend() == "tpu":
+            # also measure the whole-solve VMEM-resident K-step kernel
+            # (the default size is bound by per-step pass glue),
+            # subprocess-isolated against compile stalls
+            try:
+                rp = _pallas_engine_rate(f"mhd:k={cfg.block_k}")
+                print(f"# mhd engines: xla {r:.1f} steps/s, "
+                      f"pallas(k={cfg.block_k}) {rp:.1f} steps/s",
+                      file=sys.stderr)
+                r = max(r, rp)
+            except Exception as e:
+                print(f"# mhd pallas engine failed, using xla: "
+                      f"{str(e)[:120]}", file=sys.stderr)
         return "mhd_320x220_steps_per_sec", r, "steps/sec"
 
     def lbm_b():
@@ -291,11 +304,15 @@ def main():
         pass
     # Some JAX builds read the platform list only from config, not the
     # JAX_PLATFORMS env var — honor it explicitly so a CPU smoke run
-    # (`JAX_PLATFORMS=cpu python bench.py`) works everywhere.
-    if os.environ.get("JAX_PLATFORMS") and not getattr(
-            jax.config, "jax_platforms", None):
+    # (`JAX_PLATFORMS=cpu python bench.py`) works everywhere.  The env var
+    # must also win over a DIFFERENT config value: the axon plugin
+    # auto-prepends itself at registration ("axon,cpu"), so an unset-only
+    # guard would leave backend resolution pointed at a dead tunnel.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and getattr(
+            jax.config, "jax_platforms", None) != env_platforms:
         try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+            jax.config.update("jax_platforms", env_platforms)
         except Exception:
             pass
 

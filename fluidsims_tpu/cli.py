@@ -654,7 +654,8 @@ def cmd_mhd(args):
     from .solvers import mhd
 
     cfg = mhd.MHDConfig(nx=args.nx, ny=args.ny, problem=args.case,
-                        stable_hll=args.stable_hll, dtype=args.dtype)
+                        stable_hll=args.stable_hll, dtype=args.dtype,
+                        engine=args.engine, block_k=args.block_k)
     s = mhd.init(cfg)
     run = jax.jit(lambda st, n: mhd.run(cfg, st, n), static_argnums=1)
 
@@ -1389,6 +1390,11 @@ def build_parser():
                    choices=["briowu", "orszag-tang"])
     p.add_argument("--view", type=int, default=0)
     p.add_argument("--stable-hll", action="store_true")
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "xla", "pallas"),
+                   help="pallas = whole-solve VMEM-resident K-step kernel")
+    p.add_argument("--block-k", type=int, default=16, dest="block_k",
+                   help="fused steps per kernel launch (pallas engine)")
     _common(p, 200)
     p.set_defaults(fn=cmd_mhd)
 
@@ -1545,13 +1551,16 @@ def main(argv=None):
     # Some JAX builds read the platform list only from config, not the
     # JAX_PLATFORMS env var — honor the env var explicitly so
     # `JAX_PLATFORMS=cpu python -m fluidsims_tpu.cli ...` works everywhere.
-    # Only when the config is still unset: a test harness that already did
-    # config.update("jax_platforms", "cpu") must not be overridden by a
-    # stale env var from the outer environment.
-    if os.environ.get("JAX_PLATFORMS") and not getattr(
-            jax.config, "jax_platforms", None):
+    # The env var must also win over a DIFFERENT config value: the axon
+    # plugin auto-prepends itself at registration ("axon,cpu"), so an
+    # unset-only guard would leave backend resolution pointed at a dead
+    # tunnel.  A harness that already set the same value (tests set both
+    # env and config to "cpu") makes this a no-op.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and getattr(
+            jax.config, "jax_platforms", None) != env_platforms:
         try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+            jax.config.update("jax_platforms", env_platforms)
         except Exception:
             pass
 

@@ -69,12 +69,17 @@ class MHDConfig(BaseConfig):
     # stable_hll=True switches to the textbook sign.
     stable_hll: bool = False
     dtype: str = "float32"
+    engine: str = "auto"      # auto | xla | pallas (whole-solve VMEM resident)
+    block_k: int = 16         # fused steps per kernel launch (pallas)
 
     def validate(self):
         self._require(self.nx > 4 and self.ny > 4, "grid too small")
         self._require(self.gamma > 1.0, "gamma must be > 1")
         self._require(self.problem in ("briowu", "orszag-tang"),
                       f"unknown problem {self.problem}")
+        self._require(self.engine in ("auto", "xla", "pallas"),
+                      "engine must be auto, xla or pallas")
+        self._require(self.block_k >= 1, "block_k must be >= 1")
 
 
 class MHDState(NamedTuple):
@@ -180,14 +185,14 @@ def _mc(dl, dc, dr):
     return minmod(minmod(dl, dr), minmod(dc, minmod(2.0 * dl, 2.0 * dr)))
 
 
-def _slopes(U: ConsM, dy: int, dx: int) -> ConsM:
+def _slopes(U: ConsM, dy: int, dx: int, shift=shift_clamped) -> ConsM:
     """MC-limited slopes on conserved variables (slope_at/slope_y_at,
     tau_mhd.c:129-142), with edge-clamped neighbors (only interior values
     are consumed)."""
 
     def s(f):
-        fm = shift_clamped(f, -dy, -dx)
-        fp = shift_clamped(f, dy, dx)
+        fm = shift(f, -dy, -dx)
+        fp = shift(f, dy, dx)
         return _mc(f - fm, 0.5 * (fp - fm), fp - f)
 
     return ConsM(*(s(f) for f in U))
@@ -224,14 +229,37 @@ def init(cfg: MHDConfig) -> MHDState:
     return MHDState(U=prim_to_cons(q, g), t=jnp.asarray(0.0, dt))
 
 
-def step(cfg: MHDConfig, s: MHDState, wavespeed_reduce=None,
-         face_masks=None, dxdy=None) -> MHDState:
-    """Sharding hooks (all default to the dense single-device behavior):
-    `wavespeed_reduce` extends the dt/ch max across devices (lax.pmax);
-    `face_masks=(mx, my)` overrides the interior face-band masks when the
-    local slab's global column range differs from [0, nx); `dxdy` fixes the
-    physical spacing when cfg.nx is a local (extended) width."""
-    U = s.U
+def _zero_shift_x(fx):
+    """fxm[y, x] = fx[y, x-1], zero-filled at x=0 (the pair term of the
+    conservative face-scatter update)."""
+    return jnp.pad(fx, ((0, 0), (1, 0)))[:, :-1]
+
+
+def _zero_shift_y(fy):
+    return jnp.pad(fy, ((1, 0), (0, 0)))[:-1, :]
+
+
+def default_face_masks(nx: int, ny: int):
+    """Interior face bands: x faces (flux between cells x and x+1) for
+    x in [1, nx-3], y in [1, ny-2] (tau_mhd.c:164-167); y faces for
+    y in [1, ny-3], x in [1, nx-1]."""
+    mx_face = np.zeros((ny, nx), bool)
+    mx_face[1:ny - 1, 1:nx - 2] = True
+    my_face = np.zeros((ny, nx), bool)
+    my_face[1:ny - 2, 1:nx - 1] = True
+    return jnp.asarray(mx_face), jnp.asarray(my_face)
+
+
+def step_core(cfg: MHDConfig, U: ConsM, *, shift=shift_clamped,
+              zero_shift_x=_zero_shift_x, zero_shift_y=_zero_shift_y,
+              face_masks=None, dxdy=None, wavespeed_reduce=None):
+    """One MHD+GLM step on the raw conserved fields; returns (Un, dt).
+
+    The single physics source for both engines: the XLA dataflow path
+    (default shift primitives) and the whole-solve VMEM-resident kernel
+    (kernels/mhd_resident_pallas.py), which passes pltpu.roll-based
+    shifts — the kernel's edge-copy padding makes pure rolls reproduce
+    the clamped semantics bitwise on the real region."""
     g = cfg.gamma
     nx, ny = cfg.nx, cfg.ny
     dx, dy = dxdy if dxdy is not None else (1.0 / nx, 1.0 / ny)
@@ -248,36 +276,28 @@ def step(cfg: MHDConfig, s: MHDState, wavespeed_reduce=None,
     dt = cfg.cfl * min(dx, dy) / jnp.maximum(maxs + ch, 1e-6)
 
     if face_masks is None:
-        # x faces: flux between cells x and x+1, computed for x in
-        # [1, nx-3], y in [1, ny-2] (tau_mhd.c:164-167)
-        mx_face = np.zeros((ny, nx), bool)
-        mx_face[1:ny - 1, 1:nx - 2] = True
-        my_face = np.zeros((ny, nx), bool)
-        my_face[1:ny - 2, 1:nx - 1] = True
-        mx_face = jnp.asarray(mx_face)
-        my_face = jnp.asarray(my_face)
+        mx_face, my_face = default_face_masks(nx, ny)
     else:
         mx_face, my_face = face_masks
 
-    Sx = _slopes(U, 0, 1)
+    Sx = _slopes(U, 0, 1, shift)
     qL = _map(lambda u_, sl: u_ + 0.5 * sl, U, Sx)
     qR_all = _map(lambda u_, sl: u_ - 0.5 * sl, U, Sx)
-    qR = ConsM(*(shift_clamped(f, 0, 1) for f in qR_all))
+    qR = ConsM(*(shift(f, 0, 1) for f in qR_all))
     Fx = hlld_glm_flux(qL, qR, g, ch, True, cfg.stable_hll)
     Fx = _map(lambda f: jnp.where(mx_face, f, 0.0), Fx)
 
-    Sy = _slopes(U, 1, 0)
+    Sy = _slopes(U, 1, 0, shift)
     qB = _map(lambda u_, sl: u_ + 0.5 * sl, U, Sy)
     qT_all = _map(lambda u_, sl: u_ - 0.5 * sl, U, Sy)
-    qT = ConsM(*(shift_clamped(f, 1, 0) for f in qT_all))
+    qT = ConsM(*(shift(f, 1, 0) for f in qT_all))
     Fy = hlld_glm_flux(qB, qT, g, ch, False, cfg.stable_hll)
     Fy = _map(lambda f: jnp.where(my_face, f, 0.0), Fy)
 
     # conservative pair update: cell c gets -(Fx[c] - Fx[c-1])*dt/dx etc.
     def upd(u_, fx, fy):
-        fxm = jnp.pad(fx, ((0, 0), (1, 0)))[:, :-1]
-        fym = jnp.pad(fy, ((1, 0), (0, 0)))[:-1, :]
-        return u_ - (dt / dx) * (fx - fxm) - (dt / dy) * (fy - fym)
+        return (u_ - (dt / dx) * (fx - zero_shift_x(fx))
+                - (dt / dy) * (fy - zero_shift_y(fy)))
 
     Un = _map(upd, U, Fx, Fy)
 
@@ -290,7 +310,18 @@ def step(cfg: MHDConfig, s: MHDState, wavespeed_reduce=None,
     for f in Un:
         ok = ok & jnp.isfinite(f)
     Un = _map(lambda new, old: jnp.where(ok, new, old), Un, U)
+    return Un, dt
 
+
+def step(cfg: MHDConfig, s: MHDState, wavespeed_reduce=None,
+         face_masks=None, dxdy=None) -> MHDState:
+    """Sharding hooks (all default to the dense single-device behavior):
+    `wavespeed_reduce` extends the dt/ch max across devices (lax.pmax);
+    `face_masks=(mx, my)` overrides the interior face-band masks when the
+    local slab's global column range differs from [0, nx); `dxdy` fixes the
+    physical spacing when cfg.nx is a local (extended) width."""
+    Un, dt = step_core(cfg, s.U, face_masks=face_masks, dxdy=dxdy,
+                       wavespeed_reduce=wavespeed_reduce)
     return MHDState(U=Un, t=s.t + dt)
 
 
@@ -312,7 +343,35 @@ def view_field(cfg: MHDConfig, s: MHDState, mode: int):
     return div * 0.05
 
 
+def resolve_engine(cfg: MHDConfig) -> str:
+    """'pallas' = the whole-solve VMEM-resident K-step kernel
+    (kernels/mhd_resident_pallas.make_multistep_pallas): at the 320x220
+    reference default the XLA path is bound by per-step pass glue, not by
+    any device resource (BASELINE.md roofline), so running block_k steps
+    per launch with the 2 MB state resident in VMEM is the remaining
+    lever.  Needs f32 and a padded grid <= 2M cells.  'auto' currently
+    resolves to the XLA path everywhere — the kernel is
+    interpret-verified but not yet measured on TPU hardware; bench.py
+    measures both and the default flips once a win is recorded."""
+    from ..kernels.mhd_resident_pallas import resident_eligible
+
+    if cfg.engine != "auto":
+        if cfg.engine == "pallas" and not resident_eligible(cfg):
+            raise ValueError(
+                "engine='pallas' requires float32 and a padded grid "
+                "<= 2M cells (whole-solve VMEM residency)")
+        return cfg.engine
+    return "xla"
+
+
 def run(cfg: MHDConfig, s: MHDState, n_steps: int) -> MHDState:
     from ..core.stepper import scan_steps
 
+    if resolve_engine(cfg) == "pallas":
+        import jax
+
+        from ..kernels.mhd_resident_pallas import run_multistep
+
+        return run_multistep(cfg, s, n_steps, k=cfg.block_k,
+                             interpret=jax.default_backend() != "tpu")
     return scan_steps(lambda st: step(cfg, st), s, n_steps)

@@ -256,3 +256,35 @@ def test_stam3d_matches_loop_oracle_f64():
         got = np.asarray(getattr(s, name))
         ref = getattr(orc, name)
         assert np.abs(got - ref).max() < 1e-12, name
+
+
+def test_mhd_resident_kernel_matches_xla():
+    """The whole-solve VMEM-resident K-step kernel (interpret mode) must
+    match the XLA path to f32 FMA/fusion ulps on both reference problems,
+    with bitwise-equal accumulated time (the padded wavespeed max only
+    adds duplicates), including the k-remainder path."""
+    from fluidsims_tpu.kernels.mhd_resident_pallas import run_multistep
+
+    for problem in ("briowu", "orszag-tang"):
+        cfg = mhd.MHDConfig(nx=320, ny=220, problem=problem,
+                            dtype="float32")
+        s0 = mhd.init(cfg)
+        sx = mhd.run(cfg, s0, 10)
+        sp = run_multistep(cfg, s0, 10, k=4, interpret=True)  # 2 sup + rem 2
+        assert float(sx.t) == float(sp.t)
+        for name, a, b in zip(mhd.ConsM._fields, sx.U, sp.U):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(a).max(), 1e-3)
+            d = np.abs(a - b).max() / scale
+            assert d < 5e-5, f"{problem}/{name}: rel {d}"
+
+
+def test_mhd_resolve_engine_gates():
+    import pytest as _pytest
+
+    from fluidsims_tpu.solvers.mhd import resolve_engine
+
+    assert resolve_engine(mhd.MHDConfig()) == "xla"           # auto
+    assert resolve_engine(mhd.MHDConfig(engine="pallas")) == "pallas"
+    with _pytest.raises(ValueError):
+        resolve_engine(mhd.MHDConfig(engine="pallas", dtype="float64"))

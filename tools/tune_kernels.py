@@ -37,6 +37,7 @@ SWEEPS = {
     "lbm": [{"k": k, "band": b} for k in (4, 8, 16) for b in (64, 128)],
     "shallow_water": [{"k": k} for k in (8, 16, 32)],
     "burgers": [{"k": k} for k in (8, 16, 32)],
+    "mhd": [{"k": k} for k in (8, 16, 32, 64)],
 }
 
 
@@ -49,11 +50,14 @@ def _measure(solver: str, params: dict) -> float:
     import jax
     import numpy as np
 
-    # some JAX builds read the platform list only from config
-    if os.environ.get("JAX_PLATFORMS") and not getattr(
-            jax.config, "jax_platforms", None):
+    # some JAX builds read the platform list only from config; the env
+    # var must win even when the axon plugin pre-populated the config
+    # ("axon,cpu") at registration
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and getattr(
+            jax.config, "jax_platforms", None) != env_platforms:
         try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+            jax.config.update("jax_platforms", env_platforms)
         except Exception:
             pass
 
@@ -124,6 +128,16 @@ def _measure(solver: str, params: dict) -> float:
         per = (1024 // k) * k
         f = jax.jit(lambda s: scan_steps(sup, s, 1024 // k))
         return rate(f, bg.init(cfg), 4, per)
+    if solver == "mhd":
+        from fluidsims_tpu.kernels.mhd_resident_pallas import (
+            make_multistep_pallas)
+        from fluidsims_tpu.solvers import mhd
+
+        cfg = mhd.MHDConfig()   # 320x220 reference default
+        sup = make_multistep_pallas(cfg, k=k)
+        per = (1024 // k) * k
+        f = jax.jit(lambda s: scan_steps(sup, s, 1024 // k))
+        return rate(f, mhd.init(cfg), 4, per)
     raise SystemExit(f"unknown solver {solver}")
 
 
