@@ -302,19 +302,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
-    # Some JAX builds read the platform list only from config, not the
-    # JAX_PLATFORMS env var — honor it explicitly so a CPU smoke run
-    # (`JAX_PLATFORMS=cpu python bench.py`) works everywhere.  The env var
-    # must also win over a DIFFERENT config value: the axon plugin
-    # auto-prepends itself at registration ("axon,cpu"), so an unset-only
-    # guard would leave backend resolution pointed at a dead tunnel.
-    env_platforms = os.environ.get("JAX_PLATFORMS")
-    if env_platforms and getattr(
-            jax.config, "jax_platforms", None) != env_platforms:
-        try:
-            jax.config.update("jax_platforms", env_platforms)
-        except Exception:
-            pass
+    from fluidsims_tpu.core.platform import honor_env_platforms
+
+    honor_env_platforms(jax)
 
     nx = int(os.environ.get("FST_BENCH_NX", "2048"))
     ny = int(os.environ.get("FST_BENCH_NY", "2048"))

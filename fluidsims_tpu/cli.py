@@ -1548,21 +1548,9 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
-    # Some JAX builds read the platform list only from config, not the
-    # JAX_PLATFORMS env var — honor the env var explicitly so
-    # `JAX_PLATFORMS=cpu python -m fluidsims_tpu.cli ...` works everywhere.
-    # The env var must also win over a DIFFERENT config value: the axon
-    # plugin auto-prepends itself at registration ("axon,cpu"), so an
-    # unset-only guard would leave backend resolution pointed at a dead
-    # tunnel.  A harness that already set the same value (tests set both
-    # env and config to "cpu") makes this a no-op.
-    env_platforms = os.environ.get("JAX_PLATFORMS")
-    if env_platforms and getattr(
-            jax.config, "jax_platforms", None) != env_platforms:
-        try:
-            jax.config.update("jax_platforms", env_platforms)
-        except Exception:
-            pass
+    from .core.platform import honor_env_platforms
+
+    honor_env_platforms(jax)
 
     args = build_parser().parse_args(argv)
     args.fn(args)

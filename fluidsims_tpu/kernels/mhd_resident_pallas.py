@@ -42,7 +42,12 @@ from ..solvers import mhd
 
 __all__ = ["make_multistep_pallas", "run_multistep", "resident_eligible"]
 
-_MAX_CELLS = 2 * 1024 * 1024  # padded cells; 7 fields x f32 x carry copies
+# Padded-cell bound for whole-solve VMEM residency.  The kernel holds the
+# 7-field state three times over (input refs + output refs + fori_loop
+# carry) at 4 B/cell, i.e. 84 B/cell before flux temporaries — so 1M cells
+# ~= 84 MB against the 100 MB vmem_limit_bytes below; 2M would already
+# exceed the limit on inputs+outputs alone (112 MB).
+_MAX_CELLS = 1024 * 1024
 
 
 def _padded_dims(cfg: mhd.MHDConfig):

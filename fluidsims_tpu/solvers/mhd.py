@@ -242,7 +242,7 @@ def _zero_shift_y(fy):
 def default_face_masks(nx: int, ny: int):
     """Interior face bands: x faces (flux between cells x and x+1) for
     x in [1, nx-3], y in [1, ny-2] (tau_mhd.c:164-167); y faces for
-    y in [1, ny-3], x in [1, nx-1]."""
+    y in [1, ny-3], x in [1, nx-2]."""
     mx_face = np.zeros((ny, nx), bool)
     mx_face[1:ny - 1, 1:nx - 2] = True
     my_face = np.zeros((ny, nx), bool)

@@ -3,9 +3,12 @@ sharding tests run without TPU hardware (set before jax import)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set (not setdefault): the CLI honors an explicit JAX_PLATFORMS env
+# var over the config value, so a stale "axon,cpu" from an outer shell would
+# otherwise flip the backend mid-suite when a smoke test calls cli.main().
+os.environ["JAX_PLATFORMS"] = "cpu"
 # This JAX build ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works.
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -4,7 +4,7 @@ Independent analytic oracle for the shock-capturing solvers: given left and
 right primitive states, solves the star-region pressure with Newton
 iteration (two-rarefaction initial guess) and samples the self-similar
 solution rho/u/p at query speeds xi = x/t.  Pure NumPy float64; used by the
-Sod shock-tube gates in tests/test_hypersonic2d.py — the compressible
+Sod shock-tube gates in tests/test_riemann_exact.py — the compressible
 analog of the reference's Cole-Hopf analytic harness
 (tau_burgers.cu:16-19,720-736; the reference itself has no Euler
 analytic test, this gate is stricter).

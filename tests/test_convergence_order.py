@@ -2,7 +2,7 @@
 
 A smooth density pulse in a uniform subsonic (u, p) base flow is an exact
 contact solution of the Euler equations: u and p stay constant and rho
-advects at u.  Refining 200 -> 400 -> 800 cells (fixed final time; steps
+advects at u.  Refining 100 -> 200 -> 400 cells (fixed final time; steps
 scale with resolution since dt ~ dx/|u+c|) must show ~2nd-order L1
 convergence — the design order of the MUSCL-Hancock predictor
 (tau_hypersonic_cuda.cu:849-962).  The reference has no such gate; its

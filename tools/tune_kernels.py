@@ -50,16 +50,9 @@ def _measure(solver: str, params: dict) -> float:
     import jax
     import numpy as np
 
-    # some JAX builds read the platform list only from config; the env
-    # var must win even when the axon plugin pre-populated the config
-    # ("axon,cpu") at registration
-    env_platforms = os.environ.get("JAX_PLATFORMS")
-    if env_platforms and getattr(
-            jax.config, "jax_platforms", None) != env_platforms:
-        try:
-            jax.config.update("jax_platforms", env_platforms)
-        except Exception:
-            pass
+    from fluidsims_tpu.core.platform import honor_env_platforms
+
+    honor_env_platforms(jax)
 
     from fluidsims_tpu.core.stepper import scan_steps
 
