@@ -279,7 +279,10 @@ def cmd_burgers(args):
     from .solvers import burgers as bg
 
     cfg = bg.BurgersConfig(
-        nx=args.nx, ny=args.ny, nu=args.nu, u0=args.u0, cfl=args.CFL,
+        nx=args.nx, ny=args.ny, dx=args.dx, dy=args.dy, nu=args.nu,
+        u0=args.u0, amp=args.amp, bsig=args.bsig, swirl=args.swirl,
+        rc=args.rc, offx=args.offx, offy=args.offy, asym=args.asym,
+        cfl=args.CFL, tau0=args.tau0, t0=args.t0,
         dtau=args.dtau, muscl=args.muscl, visc_substeps=args.visc_substeps,
         colehopf=args.colehopf, ck=args.ck, ca=args.ca, dtype=args.dtype,
         engine=args.engine, block_k=args.block_k,
@@ -346,7 +349,10 @@ def cmd_shallow_water(args):
 
     cfg = sw.ShallowWaterConfig(
         nx=args.nx, ny=args.ny, dx=args.dx, dy=args.dy, g=args.g, f0=args.f0,
-        nu=args.nu, H0=args.H0, dtau=args.dtau, dtype=args.dtype,
+        nu=args.nu, H0=args.H0, bump_amp=args.amp, bump_sigma=args.bsig,
+        offx=args.offx, offy=args.offy, asym=args.asym, swirl=args.swirl,
+        swirl_rc=args.rc, tau0=args.tau0, t0=args.t0,
+        dtau=args.dtau, dtype=args.dtype,
         engine=args.engine, block_k=args.block_k,
     )
     s = sw.init(cfg)
@@ -759,14 +765,23 @@ def cmd_stam3d(args):
 
     from .solvers import stam3d
 
-    cfg = stam3d.Stam3DConfig(n=args.n, dtype=args.dtype,
+    cfg = stam3d.Stam3DConfig(n=args.n, dt=args.dt, visc=args.visc,
+                              diff=args.diff, decay=args.decay,
+                              src_gain=args.src_gain, src_freq=args.src_freq,
+                              seed_amp=args.amp, seed_noise=args.noise,
+                              seed_dens_amp=args.dens_amp,
+                              seed_sigma=args.sigma,
+                              jacobi_iters=args.jacobi, seed=args.seed,
+                              dtype=args.dtype,
                               advect_k=args.advect_k, engine=args.engine)
     s = stam3d.init(cfg)
     run = jax.jit(lambda st, n: stam3d.run(cfg, st, n), static_argnums=1)
 
     def frame(st):
         img = np.asarray(stam3d.iso_render(cfg, st, W=args.cols,
-                                           H=args.rows))
+                                           H=args.rows, gain=args.gain,
+                                           gamma=args.gamma,
+                                           levels=args.levels))
         if args.colors == "256":
             from .render.terminal import render_palette256
 
@@ -806,8 +821,12 @@ def cmd_sph(args):
 
     from .solvers import sph
 
-    cfg = sph.SPHConfig(n=args.n, dtau=args.dTau, cfl=args.CFL,
+    cfg = sph.SPHConfig(n=args.n, box_x=args.box, box_y=args.box,
+                        rho0=args.rho0, c0=args.c0, gamma_eos=args.gamma,
+                        gravity=args.gravity, dtau=args.dTau, cfl=args.CFL,
                         visc_alpha=args.visc, visc_substeps=args.visc_substeps,
+                        use_xsph=args.xsph, xsph_eps=args.xsph_eps,
+                        seed=args.seed,
                         rain=not args.no_rain, engine=args.engine,
                         cell_capacity=args.bin_capacity, dtype=args.dtype)
     s = sph.init(cfg)
@@ -956,6 +975,7 @@ def cmd_mpm(args):
     from .solvers import mpm
 
     cfg = mpm.MPMConfig(n=args.n, gx=args.gx, gy=args.gy, dt=args.dt,
+                        gravity=args.gravity, seed=args.seed,
                         material=args.material, engine=args.engine,
                         bin_capacity=args.bin_capacity,
                         dtype=args.dtype)
@@ -1291,9 +1311,22 @@ def build_parser():
     p = sub.add_parser("burgers", help="2-D viscous Burgers (tau_burgers)")
     p.add_argument("--nx", type=int, default=512)
     p.add_argument("--ny", type=int, default=512)
+    p.add_argument("--dx", type=float, default=1.0)
+    p.add_argument("--dy", type=float, default=1.0)
     p.add_argument("--nu", type=float, default=0.1)
     p.add_argument("--u0", type=float, default=1.0)
+    # initial-condition shaping (tau_burgers.cu getopt: amp/bsig/swirl/rc/
+    # offx/offy/asym)
+    p.add_argument("--amp", type=float, default=1.0)
+    p.add_argument("--bsig", type=float, default=16.0)
+    p.add_argument("--swirl", type=float, default=10.0)
+    p.add_argument("--rc", type=float, default=40.0)
+    p.add_argument("--offx", type=float, default=0.0)
+    p.add_argument("--offy", type=float, default=0.0)
+    p.add_argument("--asym", type=float, default=0.0)
     p.add_argument("--CFL", type=float, default=0.45)
+    p.add_argument("--tau0", type=float, default=0.0)
+    p.add_argument("--t0", type=float, default=1.0)
     p.add_argument("--dtau", type=float, default=1.0)
     p.add_argument("--muscl", action="store_true")
     p.add_argument("--visc_substeps", type=int, default=1)
@@ -1317,6 +1350,17 @@ def build_parser():
     p.add_argument("--f0", type=float, default=1.0)
     p.add_argument("--nu", type=float, default=0.001)
     p.add_argument("--H0", type=float, default=1000.0)
+    # initial-condition shaping (tau_shallow_water.cu getopt: amp/bsig/
+    # offx/offy/asym/swirl/rc)
+    p.add_argument("--amp", type=float, default=1.0)
+    p.add_argument("--bsig", type=float, default=1.0)
+    p.add_argument("--offx", type=float, default=100.0)
+    p.add_argument("--offy", type=float, default=100.0)
+    p.add_argument("--asym", type=float, default=10.0)
+    p.add_argument("--swirl", type=float, default=1.0)
+    p.add_argument("--rc", type=float, default=100.0)
+    p.add_argument("--tau0", type=float, default=0.0)
+    p.add_argument("--t0", type=float, default=1.0)
     p.add_argument("--dtau", type=float, default=1.0)
     p.add_argument("--engine", default="auto",
                    choices=["auto", "xla", "pallas"],
@@ -1414,6 +1458,25 @@ def build_parser():
 
     p = sub.add_parser("stam3d", help="3-D stable fluids (js_cuda3d)")
     p.add_argument("--n", type=int, default=192)
+    # physics / seeding (js_cuda3d.cu getopt: dt/visc/diff/decay/amp/noise/
+    # dens-amp/sigma/src-gain/src-freq)
+    p.add_argument("--dt", type=float, default=1.0)
+    p.add_argument("--visc", type=float, default=1e-5)
+    p.add_argument("--diff", type=float, default=1e-6)
+    p.add_argument("--decay", type=float, default=0.9)
+    p.add_argument("--amp", type=float, default=1.2,
+                   help="ABC-flow seed amplitude")
+    p.add_argument("--noise", type=float, default=0.25)
+    p.add_argument("--dens-amp", type=float, default=0.8, dest="dens_amp")
+    p.add_argument("--sigma", type=float, default=0.12)
+    p.add_argument("--src-gain", type=float, default=0.25, dest="src_gain")
+    p.add_argument("--src-freq", type=float, default=0.02, dest="src_freq")
+    p.add_argument("--jacobi", type=int, default=12)
+    p.add_argument("--seed", type=int, default=1337)
+    # iso-splat tone map (js_cuda3d.cu getopt: gain/gamma/levels)
+    p.add_argument("--gain", type=float, default=0.2)
+    p.add_argument("--gamma", type=float, default=1.2)
+    p.add_argument("--levels", type=int, default=256)
     p.add_argument("--cols", type=int, default=100)
     p.add_argument("--rows", type=int, default=40)
     p.add_argument("--advect-k", type=int, default=2,
@@ -1431,10 +1494,21 @@ def build_parser():
 
     p = sub.add_parser("sph", help="weakly-compressible SPH (tau_sph)")
     p.add_argument("--n", type=int, default=1 << 16)
+    p.add_argument("--box", type=float, default=1.0,
+                   help="square domain side (tau_sph.cu --box)")
+    p.add_argument("--rho0", type=float, default=1.0)
+    p.add_argument("--c0", type=float, default=1.0)
+    p.add_argument("--gamma", type=float, default=1.0,
+                   help="Tait EOS exponent (tau_sph.cu --gamma)")
+    p.add_argument("--gravity", type=float, default=9.81)
     p.add_argument("--dTau", type=float, default=1.0)
     p.add_argument("--CFL", type=float, default=1.0)
     p.add_argument("--visc", type=float, default=0.25)
     p.add_argument("--visc_substeps", type=int, default=1)
+    p.add_argument("--xsph", action="store_true",
+                   help="enable XSPH velocity smoothing (k_xsph_cell)")
+    p.add_argument("--xsph-eps", type=float, default=0.25, dest="xsph_eps")
+    p.add_argument("--seed", type=int, default=69420)
     p.add_argument("--no-rain", action="store_true")
     p.add_argument("--cols", type=int, default=100)
     p.add_argument("--rows", type=int, default=40)
@@ -1469,6 +1543,8 @@ def build_parser():
     p.add_argument("--gx", type=int, default=96)
     p.add_argument("--gy", type=int, default=96)
     p.add_argument("--dt", type=float, default=8e-5)
+    p.add_argument("--gravity", type=float, default=9.81)
+    p.add_argument("--seed", type=int, default=2026)
     p.add_argument("--material", default="snow",
                    choices=["mud", "snow", "sand"])
     p.add_argument("--cols", type=int, default=100)

@@ -31,6 +31,26 @@ CASES = [
     ["hypersonic3d", "--n", "16", "--steps", "2", "--headless"],
     ["hypersonic2d-cpu", "--nx", "24", "--ny", "24", "--steps", "2"],
     ["nbody", "--max-number", "256", "--steps", "2", "--headless"],
+    # reference-parity flags added round 3 (IC shaping, EOS/physics,
+    # seeding/tone-map) — guard the arg->config plumbing
+    ["burgers", "--nx", "32", "--ny", "32", "--steps", "3", "--headless",
+     "--amp", "0.5", "--bsig", "8", "--swirl", "5", "--rc", "20",
+     "--offx", "2", "--offy", "-2", "--asym", "0.1", "--tau0", "0.05",
+     "--t0", "2.0", "--dx", "0.5", "--dy", "0.5"],
+    ["shallow-water", "--nx", "32", "--ny", "32", "--steps", "3",
+     "--headless", "--amp", "2", "--bsig", "1.5", "--offx", "8",
+     "--offy", "8", "--asym", "1", "--swirl", "0.5", "--rc", "10",
+     "--tau0", "0.1", "--t0", "0.5"],
+    ["sph", "--n", "256", "--steps", "2", "--headless", "--box", "2.0",
+     "--rho0", "1.5", "--c0", "5", "--gamma", "7", "--gravity", "5",
+     "--xsph", "--xsph-eps", "0.3", "--seed", "7"],
+    ["stam3d", "--n", "16", "--steps", "2", "--headless", "--dt", "0.5",
+     "--visc", "1e-4", "--diff", "1e-5", "--decay", "0.8", "--amp", "1.0",
+     "--noise", "0.1", "--dens-amp", "0.5", "--sigma", "0.2",
+     "--src-gain", "0.1", "--src-freq", "0.05", "--jacobi", "6",
+     "--seed", "3", "--gain", "0.3", "--gamma", "1.0", "--levels", "128"],
+    ["mpm", "--n", "256", "--gx", "32", "--gy", "32", "--steps", "2",
+     "--headless", "--gravity", "5", "--seed", "9", "--material", "sand"],
 ]
 
 
