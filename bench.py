@@ -125,6 +125,24 @@ def _pallas_engine_rate(spec, timeout=900):
     return _json.loads(p.stdout.strip().splitlines()[-1])["steps_per_sec"]
 
 
+def _max_with_pallas(r_xla, solver, k, gate):
+    """Best of the XLA rate and the solver's Pallas engine (K-step
+    temporally-blocked or whole-solve VMEM-resident), measured in a
+    subprocess so a remote Mosaic compile stall cannot hang the bench.
+    `gate` guards eligibility (TPU backend, kernel size checks)."""
+    if not gate:
+        return r_xla
+    try:
+        rp = _pallas_engine_rate(f"{solver}:k={k}")
+        print(f"# {solver} engines: xla {r_xla:.1f} steps/s, "
+              f"pallas(k={k}) {rp:.1f} steps/s", file=sys.stderr)
+        return max(r_xla, rp)
+    except Exception as e:
+        print(f"# {solver} pallas engine failed, using xla: "
+              f"{str(e)[:120]}", file=sys.stderr)
+        return r_xla
+
+
 def _sweep(jax):
     """One (metric, value, unit) per solver, each at its reference-default
     size.  Fast solvers use enough steps that each timing window runs
@@ -147,93 +165,48 @@ def _sweep(jax):
         cfg = gs.GrayScottConfig(nx=2048, ny=2048)
         state = gs.init(cfg)
         r = _chunked(jax, lambda s: gs.step(cfg, s), state, 2000, 500)
-        if gs.resolve_engine(cfg) == "pallas":
-            # K-step temporally-blocked kernel: one HBM round trip per
-            # block_k steps (the single-step update is HBM-bound);
-            # measured in a subprocess so a compile stall cannot hang
-            # the bench
-            try:
-                rp = _pallas_engine_rate(f"gray_scott:k={cfg.block_k}")
-                print(f"# gray_scott engines: xla {r:.1f} steps/s, "
-                      f"pallas(k={cfg.block_k}) {rp:.1f} steps/s",
-                      file=sys.stderr)
-                r = max(r, rp)
-            except Exception as e:
-                print(f"# gray_scott pallas engine failed, using xla: "
-                      f"{str(e)[:120]}", file=sys.stderr)
+        # K-step temporally-blocked kernel: one HBM round trip per
+        # block_k steps (the single-step update is HBM-bound)
+        r = _max_with_pallas(r, "gray_scott", cfg.block_k,
+                             gs.resolve_engine(cfg) == "pallas")
         return "gray_scott_2048x2048_steps_per_sec", r, "steps/sec"
 
     def burgers():
         cfg = bg.BurgersConfig(nx=512, ny=512)
         state = bg.init(cfg)
         r = _chunked(jax, lambda s: bg.step(cfg, s), state, 4000, 1000)
-        if jax.default_backend() == "tpu":
-            # also measure the whole-solve VMEM-resident K-step kernel,
-            # subprocess-isolated against compile stalls
-            try:
-                rp = _pallas_engine_rate(f"burgers:k={cfg.block_k}")
-                print(f"# burgers engines: xla {r:.1f} steps/s, "
-                      f"pallas(k={cfg.block_k}) {rp:.1f} steps/s",
-                      file=sys.stderr)
-                r = max(r, rp)
-            except Exception as e:
-                print(f"# burgers pallas engine failed, using xla: "
-                      f"{str(e)[:120]}", file=sys.stderr)
+        # whole-solve VMEM-resident K-step kernel
+        r = _max_with_pallas(r, "burgers", cfg.block_k,
+                             jax.default_backend() == "tpu")
         return "burgers_512x512_steps_per_sec", r, "steps/sec"
 
     def shallow_water():
         cfg = sw.ShallowWaterConfig(nx=512, ny=512)
         state = sw.init(cfg)
         r = _chunked(jax, lambda s: sw.step(cfg, s), state, 4000, 1000)
-        if jax.default_backend() == "tpu":
-            # also measure the whole-solve VMEM-resident K-step kernel,
-            # subprocess-isolated against compile stalls
-            try:
-                rp = _pallas_engine_rate(f"shallow_water:k={cfg.block_k}")
-                print(f"# shallow_water engines: xla {r:.1f} steps/s, "
-                      f"pallas(k={cfg.block_k}) {rp:.1f} steps/s",
-                      file=sys.stderr)
-                r = max(r, rp)
-            except Exception as e:
-                print(f"# shallow_water pallas engine failed, using xla: "
-                      f"{str(e)[:120]}", file=sys.stderr)
+        # whole-solve VMEM-resident K-step kernel
+        r = _max_with_pallas(r, "shallow_water", cfg.block_k,
+                             jax.default_backend() == "tpu")
         return "shallow_water_512x512_steps_per_sec", r, "steps/sec"
 
     def mhd_b():
         cfg = mhd.MHDConfig()
         r = _chunked(jax, lambda s: mhd.step(cfg, s), mhd.init(cfg), 4000, 1000)
-        if jax.default_backend() == "tpu":
-            # also measure the whole-solve VMEM-resident K-step kernel
-            # (the default size is bound by per-step pass glue),
-            # subprocess-isolated against compile stalls
-            try:
-                rp = _pallas_engine_rate(f"mhd:k={cfg.block_k}")
-                print(f"# mhd engines: xla {r:.1f} steps/s, "
-                      f"pallas(k={cfg.block_k}) {rp:.1f} steps/s",
-                      file=sys.stderr)
-                r = max(r, rp)
-            except Exception as e:
-                print(f"# mhd pallas engine failed, using xla: "
-                      f"{str(e)[:120]}", file=sys.stderr)
+        # whole-solve VMEM-resident K-step kernel (the default size is
+        # bound by per-step pass glue)
+        r = _max_with_pallas(r, "mhd", cfg.block_k,
+                             jax.default_backend() == "tpu")
         return "mhd_320x220_steps_per_sec", r, "steps/sec"
 
     def lbm_b():
         cfg = lbm.LBMConfig(nx=2048, ny=1024)
         state = lbm.init(cfg)
         r = _chunked(jax, lambda s: lbm.step(cfg, s), state, 1000, 250)
-        if lbm.pallas_eligible(cfg) and jax.default_backend() == "tpu":
-            # also measure the K-step temporally-blocked kernel (one HBM
-            # round trip per block_k steps; the single-step update is
-            # HBM-bound), subprocess-isolated against compile stalls
-            try:
-                rp = _pallas_engine_rate(f"lbm:k={cfg.block_k}")
-                print(f"# lbm engines: xla {r:.1f} steps/s, "
-                      f"pallas(k={cfg.block_k}) {rp:.1f} steps/s",
-                      file=sys.stderr)
-                r = max(r, rp)
-            except Exception as e:
-                print(f"# lbm pallas engine failed, using xla: "
-                      f"{str(e)[:120]}", file=sys.stderr)
+        # K-step temporally-blocked kernel (one HBM round trip per
+        # block_k steps; the single-step update is HBM-bound)
+        r = _max_with_pallas(r, "lbm", cfg.block_k,
+                             lbm.pallas_eligible(cfg)
+                             and jax.default_backend() == "tpu")
         return "lbm_2048x1024_mlups", r * cfg.nx * cfg.ny / 1e6, "MLUPS"
 
     def sph_b():
@@ -319,10 +292,22 @@ def main():
     import threading
 
     probe_done = threading.Event()
-    threading.Thread(target=lambda: (jax.devices(), probe_done.set()),
-                     daemon=True).start()
-    if not probe_done.wait(float(os.environ.get(
+    probe_err = []
+
+    def _probe():
+        try:
+            jax.devices()
+        except Exception as e:  # fast init failure != hang
+            probe_err.append(e)
+        finally:
+            probe_done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if probe_done.wait(float(os.environ.get(
             "FST_BENCH_DEVICE_TIMEOUT", "600"))):
+        if probe_err:
+            raise probe_err[0]
+    else:
         key = f"hypersonic2d_{nx}x{ny}_steps_per_sec"
         print(json.dumps({"metric": key, "value": 0.0, "unit": "steps/sec",
                           "vs_baseline": 0.0}), flush=True)

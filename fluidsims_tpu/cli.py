@@ -33,6 +33,11 @@ def _common(p, steps_default=200):
                    help="checkpoint the final state (core/checkpoint.py)")
     p.add_argument("--load-state", default=None, metavar="FILE.npz",
                    help="resume from a saved checkpoint")
+    p.add_argument("--load-lenient", action="store_true",
+                   help="accept a legacy checkpoint whose pytree structure "
+                        "string cannot be validated (load_state "
+                        "strict=False); leaf count/shape/dtype checks "
+                        "still apply")
     p.add_argument("--interactive", action="store_true",
                    help="key-driven live mode (pause/step/reset plus "
                         "per-solver view cycles and parameter nudges); "
@@ -81,7 +86,8 @@ def _run_headless(run_jit, state, steps, name, cells=None, chunk=50,
     if args is not None and getattr(args, "load_state", None):
         from .core.checkpoint import load_state
 
-        state = load_state(args.load_state, state)
+        state = load_state(args.load_state, state,
+                           strict=not getattr(args, "load_lenient", False))
         print(f"resumed from {args.load_state}")
 
     if args is not None and getattr(args, "png", None) and rgb_fn is None:
@@ -454,7 +460,7 @@ def cmd_lbm(args):
         }
         interactive_loop(
             s, make_runner, iframe, keys, stride=max(args.stride, 1),
-            max_steps=args.steps,
+            max_steps=args.steps or None,
             status_fn=lambda ctx: (
                 f"drive={box['drive']:.2e} "
                 f"obstacle={box['cfg'].obstacle}"))
@@ -535,7 +541,7 @@ def cmd_hypersonic2d(args):
         }
         interactive_loop(
             s, lambda: run, iframe, keys, stride=max(args.stride, 1),
-            max_steps=args.steps,
+            max_steps=args.steps or None,
             status_fn=lambda ctx: f"view={view['mode']} "
                                   f"t={float(ctx.state.t):.5f}")
         return
@@ -892,7 +898,7 @@ def cmd_sph(args):
         }
         interactive_loop(
             s, make_runner, frame, keys, stride=max(args.stride, 1),
-            max_steps=args.steps,
+            max_steps=args.steps or None,
             status_fn=lambda ctx: (
                 f"t={float(ctx.state.t):.3f} h={box['cfg'].h:.4f} "
                 f"c0={box['cfg'].c0:.2f} dTau={box['dtau']:.3f} "

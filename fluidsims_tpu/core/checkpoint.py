@@ -79,7 +79,8 @@ def load_state(path, like, strict: bool = True) -> object:
                 raise ValueError(
                     msg + "\n(legacy checkpoint without __state_class__: "
                     "same-shape field permutations are undetectable; pass "
-                    "strict=False to load_state to accept it anyway)")
+                    "strict=False to load_state — or --load-lenient on the "
+                    "CLI — to accept it anyway)")
     restored = []
     for i, ref in enumerate(leaves):
         if f"leaf_{i}" not in data:

@@ -93,14 +93,19 @@ def make_sharded_run(cfg: fa.FlipApicConfig, mesh: Mesh, n_steps: int,
             f"particles={cfg.particles} not divisible by {n_dev} devices")
     # per-device config: the cell-dense capacity auto-sizes down with the
     # local particle count (interleaved shards thin every cell uniformly).
-    # 'auto' is pinned to 'dense' here: it resolves to the Pallas transfer
-    # kernels on TPU, and pallas_call under shard_map with a psum
+    # 'auto' is pinned to 'dense' here: on TPU it would resolve to the
+    # Pallas transfer kernels, and pallas_call under shard_map with a psum
     # grid_reduce is an unexercised composition (the kernels buy ~8%
-    # single-chip; not worth the untested path).  An EXPLICIT engine
-    # choice (dense/scatter) is honored — only the auto/pallas resolution
-    # is redirected.
-    local_engine = ("dense" if cfg.engine in ("auto", "pallas")
-                    else cfg.engine)
+    # single-chip; not worth the untested path).  An explicit
+    # 'dense'/'scatter' is honored; an explicit 'pallas' raises rather
+    # than silently measuring a different engine.
+    if cfg.engine == "pallas":
+        raise ValueError(
+            "engine='pallas' is not supported under the sharded FLIP "
+            "runner (pallas_call inside shard_map with a psum grid merge "
+            "is an unexercised composition); use engine='auto' (resolves "
+            "to 'dense' here) or an explicit 'dense'/'scatter'")
+    local_engine = "dense" if cfg.engine == "auto" else cfg.engine
     cfg_local = replace(cfg, particles=cfg.particles // n_dev,
                         engine=local_engine)
 

@@ -50,7 +50,6 @@ counterpart (the reference is single-GPU).
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple
 
 import jax
@@ -62,7 +61,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import cell_dense as cd
 from ..solvers import flip_apic as fa
 from ..solvers.flip_apic import _gshift, _w1
-from .spatial_common import make_halo_ops, migrate
+from .spatial_common import make_halo_ops, migrate, owner_cap
 
 __all__ = ["SpatialFlipState", "shard_state", "make_sharded_run",
            "gather_state"]
@@ -91,10 +90,6 @@ def _slab_w(cfg, n_dev):
     return W
 
 
-def _p_cap(cfg, n_dev, slack):
-    return max(8, int(math.ceil(slack * cfg.particles / n_dev / 8.0)) * 8)
-
-
 def shard_state(state: fa.FlipApicState, cfg: fa.FlipApicConfig,
                 mesh: Mesh, axis: str = "x",
                 slack: float = 4.0) -> SpatialFlipState:
@@ -102,7 +97,7 @@ def shard_state(state: fa.FlipApicState, cfg: fa.FlipApicConfig,
     n_dev = mesh.shape[axis]
     n = cfg.grid
     W = _slab_w(cfg, n_dev)
-    P_cap = _p_cap(cfg, n_dev, slack)
+    P_cap = owner_cap(cfg.particles, n_dev, slack)
 
     pos = np.asarray(state.pos)
     fields = [pos, np.asarray(state.vel), np.asarray(state.affine_x),
@@ -383,7 +378,7 @@ def make_sharded_run(cfg: fa.FlipApicConfig, mesh: Mesh, n_steps: int,
                          "particles must stay below 2^24")
     n_dev = mesh.shape[axis]
     _slab_w(cfg, n_dev)
-    P_cap = _p_cap(cfg, n_dev, slack)
+    P_cap = owner_cap(cfg.particles, n_dev, slack)
     if mig_cap <= 0:
         mig_cap = max(8, P_cap // 8)
 

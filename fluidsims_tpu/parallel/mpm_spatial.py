@@ -44,7 +44,6 @@ reference is single-GPU).
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple
 
 import jax
@@ -56,7 +55,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import cell_dense as cd
 from ..solvers import mpm
 from ..solvers.mpm import MATERIALS, _bspline_w, _plastic_and_stress
-from .spatial_common import make_halo_ops, migrate
+from .spatial_common import make_halo_ops, migrate, owner_cap
 
 __all__ = ["SpatialMPMState", "shard_state", "make_sharded_run",
            "gather_state"]
@@ -83,10 +82,6 @@ def _slab_w(cfg, n_dev):
     return W
 
 
-def _p_cap(cfg, n_dev, slack):
-    return max(8, int(math.ceil(slack * cfg.n / n_dev / 8.0)) * 8)
-
-
 def _base_col(cfg, px):
     """The particle's stencil-origin grid column — ownership key."""
     return np.clip(np.floor(px / cfg.dx - 0.5).astype(np.int32),
@@ -98,7 +93,7 @@ def shard_state(state: mpm.MPMState, cfg: mpm.MPMConfig, mesh: Mesh,
     """Split a replicated MPMState into per-slab owner buffers."""
     n_dev = mesh.shape[axis]
     W = _slab_w(cfg, n_dev)
-    P_cap = _p_cap(cfg, n_dev, slack)
+    P_cap = owner_cap(cfg.n, n_dev, slack)
 
     pos = np.asarray(state.pos)
     fields = [pos, np.asarray(state.vel),
@@ -335,7 +330,7 @@ def make_sharded_run(cfg: mpm.MPMConfig, mesh: Mesh, n_steps: int,
                          "n must stay below 2^24")
     n_dev = mesh.shape[axis]
     _slab_w(cfg, n_dev)
-    P_cap = _p_cap(cfg, n_dev, slack)
+    P_cap = owner_cap(cfg.n, n_dev, slack)
     if mig_cap <= 0:
         mig_cap = max(8, P_cap // 8)
 

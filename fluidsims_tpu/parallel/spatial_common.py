@@ -8,10 +8,19 @@ front-compaction scatter below is the primitive they share.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["compact", "make_halo_ops", "migrate"]
+__all__ = ["compact", "make_halo_ops", "migrate", "owner_cap"]
+
+
+def owner_cap(n_particles: int, n_dev: int, slack: float) -> int:
+    """Per-device owner-buffer capacity: `slack` times the uniform share,
+    rounded up to the 8-row sublane alignment (min 8).  One definition so
+    shard_state and make_sharded_run in every spatial module agree."""
+    return max(8, int(math.ceil(slack * n_particles / n_dev / 8.0)) * 8)
 
 
 def compact(vals, keep, cap, fill_row):

@@ -53,7 +53,6 @@ O(slack * n/D + G/D) either way.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +64,7 @@ from typing import NamedTuple
 from ..kernels import sph_pallas as sp
 from ..ops import cell_dense as cd
 from ..solvers import sph as sph_mod
-from .spatial_common import migrate
+from .spatial_common import make_halo_ops, migrate, owner_cap
 
 __all__ = ["SpatialSPHState", "shard_state", "make_sharded_run",
            "gather_state"]
@@ -99,10 +98,6 @@ def _geometry(cfg, n_dev, interpret):
     return grid, K, BW, PAD, n_copies, G, W
 
 
-def _p_cap(cfg, n_dev, slack):
-    return max(8, int(math.ceil(slack * cfg.n / n_dev / 8.0)) * 8)
-
-
 def shard_state(state: sph_mod.SPHState, cfg: sph_mod.SPHConfig,
                 mesh: Mesh, axis: str = "c", slack: float = 4.0,
                 interpret: bool | None = None) -> SpatialSPHState:
@@ -111,7 +106,7 @@ def shard_state(state: sph_mod.SPHState, cfg: sph_mod.SPHConfig,
         interpret = jax.default_backend() != "tpu"
     n_dev = mesh.shape[axis]
     grid, K, BW, PAD, _, G, W = _geometry(cfg, n_dev, interpret)
-    P_cap = _p_cap(cfg, n_dev, slack)
+    P_cap = owner_cap(cfg.n, n_dev, slack)
 
     pos = np.asarray(state.pos)
     vel = np.asarray(state.vel)
@@ -175,21 +170,9 @@ def _local_steps(cfg, axis, n_dev, n_steps, interpret, P_cap, mig_cap,
     d = lax.axis_index(axis)
     cell_base = d * W                      # first owned flat cell
 
-    fwd = [(i, i + 1) for i in range(n_dev - 1)]   # send up (d -> d+1)
-    bwd = [(i + 1, i) for i in range(n_dev - 1)]   # send down
-
-    def halo_exchange(dense, fill_value):
-        """Fill the PAD halo columns from the slab neighbors."""
-        lo_band = lax.dynamic_slice_in_dim(dense, PAD, PAD, axis=-1)
-        hi_band = lax.dynamic_slice_in_dim(dense, W, PAD, axis=-1)
-        from_below = lax.ppermute(hi_band, axis, fwd)   # d-1's top band
-        from_above = lax.ppermute(lo_band, axis, bwd)   # d+1's bottom band
-        from_below = jnp.where(d == 0, fill_value, from_below)
-        from_above = jnp.where(d == n_dev - 1, fill_value, from_above)
-        dense = lax.dynamic_update_slice_in_dim(dense, from_below, 0,
-                                                axis=-1)
-        return lax.dynamic_update_slice_in_dim(dense, from_above, W + PAD,
-                                               axis=-1)
+    # shared slab-halo fill (same slice/perm/edge-fill map as the
+    # FLIP/MPM spatial runners)
+    halo_exchange, _ = make_halo_ops(axis, n_dev, d, W, PAD)
 
     def substep(pos, vel, ids, lost, dt_sub):
         alive = ids >= 0
@@ -279,7 +262,7 @@ def make_sharded_run(cfg: sph_mod.SPHConfig, mesh: Mesh, n_steps: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_dev = mesh.shape[axis]
-    P_cap = _p_cap(cfg, n_dev, slack)
+    P_cap = owner_cap(cfg.n, n_dev, slack)
     if mig_cap <= 0:
         mig_cap = max(8, P_cap // 8)
 

@@ -81,7 +81,7 @@ def export_4spl(
     for f in range(frames):
         state, qf = frame_fn(state)
         pending.append((f, qf))
-        if len(pending) > window:
+        if len(pending) >= window:
             collect(*pending.pop(0))
     for f, qf in pending:
         collect(f, qf)
