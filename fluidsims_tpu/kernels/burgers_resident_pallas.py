@@ -45,7 +45,10 @@ def make_multistep_pallas(cfg: bg.BurgersConfig, k: int = 16,
 
     def body(fields, t, shift):
         phi_u, phi_v = fields
-        return bg.step_fields(cfg, phi_u, phi_v, t, shift=shift)
+        # Mosaic has no sinh/asinh lowering; the cancellation-free
+        # tanh/log1p forms are a few-ulp substitute (solvers.burgers)
+        return bg.step_fields(cfg, phi_u, phi_v, t, shift=shift,
+                              codec=(bg.sinh_mosaic, bg.asinh_mosaic))
 
     sup = make_resident_multistep(body, 2, (cfg.ny, cfg.nx), cfg.jax_dtype,
                                   cfg.dtau, k, interpret)

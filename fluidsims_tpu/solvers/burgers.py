@@ -91,12 +91,37 @@ class BurgersState(NamedTuple):
     tau: jnp.ndarray    # log time
 
 
-def _encode(cfg, u):
-    return jnp.arcsinh(u / cfg.u0)
+def sinh_mosaic(x):
+    """sinh from primitives Mosaic lowers (tanh/exp — it has no sinh).
+
+    |x| <= 1: with t = tanh(x/2), sinh(x) = 2t / (1 - t^2) — cancellation-
+    free at small |x| (t ~ x/2 keeps full relative accuracy), unlike the
+    (e^x - e^-x)/2 form.  |x| > 1: the exp form (e^|x| - e^-|x|)/2, whose
+    cancellation is bounded by e^-2 there, while the tanh form saturates
+    (1 - t^2 loses ~2e-4 relative by |x| ~ 8)."""
+    ax = jnp.abs(x)
+    t = jnp.tanh(0.5 * x)
+    small = 2.0 * t / (1.0 - t * t)
+    e = jnp.exp(ax)
+    big = jnp.sign(x) * (0.5 * (e - 1.0 / e))
+    return jnp.where(ax > 1.0, big, small)
 
 
-def _decode(cfg, phi):
-    return cfg.u0 * jnp.sinh(phi)
+def asinh_mosaic(x):
+    """asinh from primitives Mosaic lowers (log1p/sqrt — no asinh):
+    sign(x) * log1p(|x| + x^2/(1 + sqrt(1 + x^2))), the standard
+    cancellation-free rearrangement of log(x + sqrt(x^2+1))."""
+    ax = jnp.abs(x)
+    h = jnp.sqrt(1.0 + ax * ax)
+    return jnp.sign(x) * jnp.log1p(ax + ax * ax / (1.0 + h))
+
+
+def _encode(cfg, u, asinh=jnp.arcsinh):
+    return asinh(u / cfg.u0)
+
+
+def _decode(cfg, phi, sinh=jnp.sinh):
+    return cfg.u0 * sinh(phi)
 
 
 def velocities(cfg: BurgersConfig, s: BurgersState):
@@ -180,7 +205,7 @@ def _muscl_faces(q, axis: int, shift=shift_wrapped):
 
 
 def _rusanov_faces(cfg, phi_u, phi_v, u, v, axis: int,
-                   shift=shift_wrapped):
+                   shift=shift_wrapped, sinh=jnp.sinh):
     """Rusanov (LLF) face fluxes for both components along one axis.
 
     `u`/`v` are the decoded velocities (sinh(phi)*u0), passed in so the
@@ -194,8 +219,8 @@ def _rusanov_faces(cfg, phi_u, phi_v, u, v, axis: int,
     if cfg.muscl:
         pUL, pUR = _muscl_faces(phi_u, axis, shift)
         pVL, pVR = _muscl_faces(phi_v, axis, shift)
-        uL, vL = _decode(cfg, pUL), _decode(cfg, pVL)
-        uR, vR = _decode(cfg, pUR), _decode(cfg, pVR)
+        uL, vL = _decode(cfg, pUL, sinh), _decode(cfg, pVL, sinh)
+        uR, vR = _decode(cfg, pUR, sinh), _decode(cfg, pVR, sinh)
     else:
         uL, vL = u, v
         uR = shift(u, 0, 1) if axis == 0 else shift(u, 1, 0)
@@ -217,7 +242,8 @@ def _rusanov_faces(cfg, phi_u, phi_v, u, v, axis: int,
 
 
 def step_fields(cfg: BurgersConfig, phi_u, phi_v, t,
-                shift=shift_wrapped, wavespeed_reduce=None):
+                shift=shift_wrapped, wavespeed_reduce=None,
+                codec=(jnp.sinh, jnp.arcsinh)):
     """One τ-clock step on the raw (phi_u, phi_v) fields; returns
     (phi_u2, phi_v2) (tau_burgers.cu do_step :677-718).
 
@@ -225,11 +251,15 @@ def step_fields(cfg: BurgersConfig, phi_u, phi_v, t,
     XLA path, a pltpu.roll-based equivalent inside the resident Pallas
     kernel (kernels/burgers_resident_pallas.py) — so both engines share
     this one physics source.  `wavespeed_reduce` (e.g. lax.pmax over a
-    mesh axis) extends the CFL max across devices for the sharded path."""
+    mesh axis) extends the CFL max across devices for the sharded path.
+    `codec` is the (sinh, asinh) pair for the log-velocity state — the
+    kernel passes (sinh_mosaic, asinh_mosaic) because Mosaic has no
+    sinh/asinh lowering."""
+    sinh, asinh = codec
     one_d = cfg.colehopf
     # the ONE decode of the step: faces reuse u0/v0 (see _rusanov_faces)
-    u0 = _decode(cfg, phi_u)
-    v0 = _decode(cfg, phi_v)
+    u0 = _decode(cfg, phi_u, sinh)
+    v0 = _decode(cfg, phi_v, sinh)
     u, v = u0, v0
 
     inv_dy = 0.0 if (one_d or cfg.ny <= 1) else 1.0 / cfg.dy
@@ -240,7 +270,7 @@ def step_fields(cfg: BurgersConfig, phi_u, phi_v, t,
     dt = jnp.minimum(t * cfg.dtau, cfg.cfl / smax)
 
     Fu_x, Fv_x = _rusanov_faces(cfg, phi_u, phi_v, u0, v0, axis=0,
-                                shift=shift)
+                                shift=shift, sinh=sinh)
     dFx_u = Fu_x - shift(Fu_x, 0, -1)
     dFx_v = Fv_x - shift(Fv_x, 0, -1)
     u = u - dt * dFx_u / cfg.dx
@@ -248,7 +278,7 @@ def step_fields(cfg: BurgersConfig, phi_u, phi_v, t,
 
     if not one_d:
         Gu_y, Gv_y = _rusanov_faces(cfg, phi_u, phi_v, u0, v0, axis=1,
-                                    shift=shift)
+                                    shift=shift, sinh=sinh)
         dGy_u = Gu_y - shift(Gu_y, -1, 0)
         dGy_v = Gv_y - shift(Gv_y, -1, 0)
         u = u - dt * dGy_u / cfg.dy
@@ -272,7 +302,7 @@ def step_fields(cfg: BurgersConfig, phi_u, phi_v, t,
         u = u + cfg.nu * sub * lap_u
         v = v + cfg.nu * sub * lap_v
 
-    return _encode(cfg, u), _encode(cfg, v)
+    return _encode(cfg, u, asinh), _encode(cfg, v, asinh)
 
 
 def step(cfg: BurgersConfig, s: BurgersState,
