@@ -209,6 +209,14 @@ def _ms_kernel(cfg, k, band, W, drive_ref, fA, fB, fC, sA, sB, sC, f_out):
         f_out[q, :, :] = f[q][k:k + band, _CG:_CG + W]
 
 
+def band_fits_vmem(W: int, band: int, k: int) -> bool:
+    """Conservative scoped-VMEM stack check for the multistep kernel:
+    Mosaic's stack holds ~10 copies of the 9-field (band+2k, W+128) f32
+    slab (measured 108.6M at band=128, k=8, W=2048 against the ~102M
+    scoped limit, which failed; band=64 at 60M ran)."""
+    return 10 * 9 * (band + 2 * k) * (W + 2 * _CG) * 4 <= 96 * 1024 * 1024
+
+
 def make_multistep_pallas(cfg: lbm.LBMConfig, k: int = 8,
                           band: int | None = None,
                           interpret: bool = False):
@@ -221,7 +229,8 @@ def make_multistep_pallas(cfg: lbm.LBMConfig, k: int = 8,
         raise ValueError(f"nx={W} must be a multiple of 128")
     if band is None:
         band = next((b for b in (128, 64, 32, 16)
-                     if H % b == 0 and b >= k), None)
+                     if H % b == 0 and b >= k
+                     and band_fits_vmem(W, b, k)), None)
         if band is None:
             raise ValueError(f"no valid band for ny={H}, k={k}")
     if H % band or k > band or k > _CG:

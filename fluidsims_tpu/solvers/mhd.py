@@ -70,7 +70,7 @@ class MHDConfig(BaseConfig):
     stable_hll: bool = False
     dtype: str = "float32"
     engine: str = "auto"      # auto | xla | pallas (whole-solve VMEM resident)
-    block_k: int = 16         # fused steps per kernel launch (pallas)
+    block_k: int = 8          # fused steps per kernel launch (pallas; round-3 tune winner)
 
     def validate(self):
         self._require(self.nx > 4 and self.ny > 4, "grid too small")
@@ -349,10 +349,9 @@ def resolve_engine(cfg: MHDConfig) -> str:
     reference default the XLA path is bound by per-step pass glue, not by
     any device resource (BASELINE.md roofline), so running block_k steps
     per launch with the 2 MB state resident in VMEM is the remaining
-    lever.  Needs f32 and a padded grid <= 2M cells.  'auto' currently
-    resolves to the XLA path everywhere — the kernel is
-    interpret-verified but not yet measured on TPU hardware; bench.py
-    measures both and the default flips once a win is recorded."""
+    lever.  Needs f32 and a padded grid <= 2M cells.  'auto' takes it
+    on TPU: measured 29005 steps/s at the 320x220 reference default with
+    k=8 vs 13013 for the XLA path — 2.23x (round-3 tune sweep)."""
     from ..kernels.mhd_resident_pallas import resident_eligible
 
     if cfg.engine != "auto":
@@ -361,7 +360,10 @@ def resolve_engine(cfg: MHDConfig) -> str:
                 "engine='pallas' requires float32 and a padded grid "
                 "<= 2M cells (whole-solve VMEM residency)")
         return cfg.engine
-    return "xla"
+    import jax
+
+    return ("pallas" if (resident_eligible(cfg)
+                         and jax.default_backend() == "tpu") else "xla")
 
 
 def run(cfg: MHDConfig, s: MHDState, n_steps: int) -> MHDState:

@@ -53,7 +53,7 @@ class ShallowWaterConfig(BaseConfig):
     dtau: float = 1.0
     dtype: str = "float32"
     engine: str = "auto"     # auto | xla | pallas (whole-solve VMEM resident)
-    block_k: int = 16        # fused steps per kernel launch (pallas)
+    block_k: int = 8         # fused steps per kernel launch (pallas; round-3 tune winner)
 
     def validate(self):
         self._require(self.nx > 0 and self.ny > 0, "grid dims must be positive")
@@ -220,10 +220,9 @@ def resolve_engine(cfg: ShallowWaterConfig) -> str:
     at no single bound (~30% HBM, ~30% issue — BASELINE.md roofline), so
     running block_k steps per launch with the state resident in VMEM
     removes the per-step intermediate traffic and glue.  Needs f32,
-    nx % 128 == 0 and nx*ny <= 2M cells.  'auto' currently resolves to
-    the XLA path everywhere — the kernel is interpret-verified but not
-    yet measured on TPU hardware; bench.py measures both and the default
-    flips once a win is recorded."""
+    nx % 128 == 0 and nx*ny <= 2M cells.  'auto' takes it on TPU:
+    measured 43414 steps/s at the 512^2 reference default with k=8 vs
+    26771 for the XLA path — 1.62x (round-3 tune sweep)."""
     from ..kernels.sw_resident_pallas import resident_eligible
 
     if cfg.engine != "auto":
@@ -232,7 +231,10 @@ def resolve_engine(cfg: ShallowWaterConfig) -> str:
                 "engine='pallas' requires float32, nx % 128 == 0 and "
                 "nx*ny <= 2M cells (whole-solve VMEM residency)")
         return cfg.engine
-    return "xla"
+    import jax
+
+    return ("pallas" if (resident_eligible(cfg)
+                         and jax.default_backend() == "tpu") else "xla")
 
 
 def run(cfg: ShallowWaterConfig, s: ShallowWaterState, n_steps: int):
