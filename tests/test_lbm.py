@@ -149,6 +149,25 @@ def test_lbm_engine_validation():
     assert lbm.resolve_engine(lbm.LBMConfig(nx=100, ny=64)) == "xla"
 
 
+def test_lbm_band_vmem_gate():
+    """The auto band pick must skip bands whose Mosaic stack exceeds
+    scoped VMEM (band=128 at 2048 wide measured 108.6M against the ~102M
+    limit on hardware) and land on the largest band that fits."""
+    from fluidsims_tpu.kernels.lbm_pallas import (band_fits_vmem,
+                                                  make_multistep_pallas)
+
+    assert not band_fits_vmem(2048, 128, 8)
+    assert band_fits_vmem(2048, 64, 8)
+    # auto pick at the bench shape lands on 64, and the kernel builds
+    sup = make_multistep_pallas(lbm.LBMConfig(nx=2048, ny=1024), k=8,
+                                interpret=True)
+    assert sup is not None
+    # a narrow grid still admits band=128
+    assert band_fits_vmem(256, 128, 8)
+    # the gate keeps pallas_eligible true at the bench shape
+    assert lbm.pallas_eligible(lbm.LBMConfig(nx=2048, ny=1024))
+
+
 def test_poiseuille_matches_analytic():
     """Analytic validation the reference lacks: body-forced channel flow
     relaxes to the exact Poiseuille parabola u(y) = a/(2 nu) * y (H - y)
