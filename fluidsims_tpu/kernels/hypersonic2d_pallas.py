@@ -57,7 +57,7 @@ from ..solvers.hypersonic2d import PAD
 __all__ = ["step_pallas", "run_pallas", "make_step_pallas"]
 
 
-def _band_kernel(cfg, n_fields, wtp, dt_ref, *refs):
+def _band_kernel(cfg, n_fields, wtp, skip_clean, dt_ref, *refs):
     """One row band x one column tile: assemble halo windows from 3
     adjacent row blocks per field and run the shared physics core.  `wtp`
     is the logical tile width incl. x halos; stored blocks may be wider
@@ -78,7 +78,11 @@ def _band_kernel(cfg, n_fields, wtp, dt_ref, *refs):
     Up = Cons(*fields[:4])
     Mp = fields[4] > 0.5
 
-    out = h2.step_core_padded(cfg, Up, Mp, dt)
+    # skip_clean: bands with no pathological cells (most of them — only
+    # bands crossed by the bow shock repair faces) skip the positivity
+    # contraction rounds and the HLLE fallback via scalar conds;
+    # bitwise-identical to the unconditional XLA dataflow path
+    out = h2.step_core_padded(cfg, Up, Mp, dt, skip_clean=True)
     for o_ref, val in zip(outs, out):
         o_ref[:] = val
 
@@ -151,6 +155,10 @@ def make_step_pallas(cfg: h2.Hypersonic2DConfig, band: int = 16,
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((H, W), cfg.jax_dtype)
                    for _ in range(n_fields)],
+        # the skip_clean conds keep both branch states live, nudging the
+        # stack past the default 16M scoped limit at band=16 x 2048
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )
 

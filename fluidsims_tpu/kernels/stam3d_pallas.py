@@ -43,10 +43,35 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["make_lin_solve_pallas", "make_advect_pallas",
            "make_set_bnd_pallas", "make_step_pallas"]
 
-_JB = 4     # jacobi band (z slices per program); also the window halo
+_JB = 4     # fallback jacobi band (z slices per program); also the window halo
 _JCOPIES = 3  # window copies (band + one halo block per side)
-_IP = 4     # jacobi iterations fused per pass (<= _JB)
+_IP = 4     # fallback jacobi iterations fused per pass (<= _JB)
 _AB = 4     # advect band
+
+
+def _pick_jacobi_band(n: int, iters: int) -> tuple[int, int]:
+    """Choose (band, iters-per-pass) for the z-banded Jacobi.
+
+    HBM traffic per solve is `passes x 7 volumes` (3 window copies of cur,
+    3 of x0, 1 out), while the redundant halo compute ratio is fixed at 3x
+    regardless of band depth — so the deepest band whose halo covers the
+    most iterations minimizes traffic at no extra arithmetic.  At the
+    192^3 reference default this takes the 12-iteration solve from 3
+    passes (band 4) to 1 (band 16): measured 4.46 ms -> ~1.6 ms per solve
+    (the solves were at the ~130 GB/s HBM bound, BASELINE.md).
+
+    Constraints: band divides into the z extent cleanly enough that the
+    clamped edge blocks stay junk-beyond-the-ring (any band works — the
+    grid is already ragged over Np = n+2); iters-per-pass must be <= band
+    (halo depth) and EVEN, so every pass ends on ping-pong parity with
+    x's original ghost ring (the final restore assumes it)."""
+    for jb in (16, 8, 4):
+        if n % jb:
+            continue
+        for ip in range(min(jb, iters), 0, -1):
+            if iters % ip == 0 and ip % 2 == 0:
+                return jb, ip
+    return _JB, _IP
 
 
 def _jacobi_kernel(a, c, it0, ip, Np, B, hw, *refs):
@@ -99,15 +124,16 @@ def _jacobi_kernel(a, c, it0, ip, Np, B, hw, *refs):
 def make_lin_solve_pallas(n: int, a: float, c: float, iters: int,
                           dtype=jnp.float32, interpret: bool = False):
     """Build lin_solve(x, x0) -> x_new on (n+2)^3 arrays, bit-identical to
-    solvers.stam3d._lin_solve for even `iters` divisible by _IP."""
-    if iters % _IP or iters % 2:
-        raise ValueError(f"iters={iters} must be even and divisible by {_IP}")
-    if n % _JB:
-        raise ValueError(f"n={n} must be divisible by {_JB}")
-    if _IP > _JB:
+    solvers.stam3d._lin_solve for even `iters`."""
+    jb, ip = _pick_jacobi_band(n, iters)
+    if iters % ip or iters % 2:
+        raise ValueError(f"iters={iters} must be even and divisible by {ip}")
+    if n % jb:
+        raise ValueError(f"n={n} must be divisible by {jb}")
+    if ip > jb:
         raise ValueError("iterations per pass must be <= the band halo")
     Np = n + 2
-    B = _JB
+    B = jb
     nc = _JCOPIES
     # grid over ALL z blocks of the full (Np, Np, Np) array — ghost slices
     # are produced by the kernel itself (ring re-application), so each
@@ -117,7 +143,7 @@ def make_lin_solve_pallas(n: int, a: float, c: float, iters: int,
     nb = -(-Np // B)
     hw = B  # window index of the output block start
 
-    passes = iters // _IP
+    passes = iters // ip
 
     def specs():
         return [
@@ -133,7 +159,7 @@ def make_lin_solve_pallas(n: int, a: float, c: float, iters: int,
     calls = []
     for p in range(passes):
         calls.append(pl.pallas_call(
-            functools.partial(_jacobi_kernel, a, c, p * _IP, _IP, Np, B, hw),
+            functools.partial(_jacobi_kernel, a, c, p * ip, ip, Np, B, hw),
             grid=(nb,),
             in_specs=specs() + specs(),
             out_specs=pl.BlockSpec((B, Np, Np), lambda i: (i, 0, 0),

@@ -14,6 +14,7 @@ Burgers solver (tau_burgers.cu:364-457) and the shallow-water HLL flux
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .euler2d import (
@@ -76,9 +77,17 @@ def hlle(UL: Cons, UR: Cons, gamma: float, axis: int) -> Cons:
     return c_where(SL >= 0.0, FL, c_where(SR <= 0.0, FR, mid))
 
 
-def hllc(UL: Cons, UR: Cons, gamma: float, axis: int) -> Cons:
+def hllc(UL: Cons, UR: Cons, gamma: float, axis: int,
+         skip_clean: bool = False) -> Cons:
     """HLLC three-wave flux with per-face HLLE fallback on degenerate or
-    non-finite star states (tau_hypersonic_cuda.cu:548-571)."""
+    non-finite star states (tau_hypersonic_cuda.cu:548-571).
+
+    `skip_clean=True` computes the HLLE fallback under a scalar `lax.cond`
+    gated on `any(bad)` — when no face in the array is degenerate (the
+    common case), the fallback arithmetic is skipped entirely.  Where
+    `bad` is all-False the fallback values are never selected, so results
+    are bitwise-identical; inside a Pallas band kernel the cond is real
+    control flow."""
     L = cons_to_prim(UL, gamma)
     R = cons_to_prim(UR, gamma)
 
@@ -135,6 +144,15 @@ def hllc(UL: Cons, UR: Cons, gamma: float, axis: int) -> Cons:
     F_right_star = c_add(FR, c_scale(SR, c_sub(UStarR, UR)))
 
     star = c_where(SM >= 0.0, F_left_star, F_right_star)
-    fallback = hlle(UL, UR, gamma, axis)
+    if skip_clean:
+        # `star` as the else-branch keeps shapes/dtypes; its values are
+        # only used where `bad` is False, exactly where c_where keeps star
+        fallback = jax.lax.cond(
+            jnp.any(bad),
+            lambda: hlle(UL, UR, gamma, axis),
+            lambda: star,
+        )
+    else:
+        fallback = hlle(UL, UR, gamma, axis)
     interior = c_where(bad, fallback, star)
     return c_where(SL >= 0.0, FL, c_where(SR <= 0.0, FR, interior))

@@ -256,15 +256,36 @@ def _cwin(c: Cons, y0, x0, h, w) -> Cons:
     return Cons(*(_win(f, y0, x0, h, w) for f in c))
 
 
-def step_core_padded(cfg, Up: Cons, Mp, dt) -> Cons:
+def step_core_padded(cfg, Up: Cons, Mp, dt, skip_clean: bool = False) -> Cons:
     """The local physics update on a halo-2 padded block: MUSCL predict ->
     HLLC face fluxes -> conservative update + diffusion -> positivity fix.
     Returns the new interior state (shape = padded minus 2*PAD each dim).
-    Pure slicing + elementwise ops: safe inside a Pallas kernel."""
+    Pure slicing + elementwise ops: safe inside a Pallas kernel.
+
+    `skip_clean=True` (the Pallas band kernel) gates the positivity
+    contraction rounds and the HLLE fallback behind scalar `lax.cond`s so
+    blocks with no pathological cells — the common case away from the bow
+    shock — skip that arithmetic.  Results are bitwise-identical (see
+    ops.euler2d.enforce_positive_faces); the XLA whole-grid path keeps the
+    unconditional dataflow (a grid-wide cond would almost never skip and
+    XLA conds break fusion).
+
+    The primitive decode is hoisted: cons_to_prim runs ONCE on the whole
+    padded block and every window takes slices of it — bitwise-identical
+    to per-window decodes (elementwise ops commute with slicing), and it
+    deletes ~6 grid-sized redundant decodes the compiler cannot CSE
+    (shifted windows are distinct expressions)."""
     hp, wp = Up.rho.shape
     H = hp - 2 * PAD
     W = wp - 2 * PAD
     half_dt = 0.5 * dt
+
+    # one decode of the whole padded block; all center-state prims below
+    # are windows of this
+    Pp = e2.cons_to_prim(Up, cfg.gamma)
+
+    def _pwin(y0, x0, h, w) -> Prim:
+        return Prim(*(_win(f, y0, x0, h, w) for f in Pp))
 
     def predict_axis(axis):
         # predicted (low, high) face states for the extended cell range:
@@ -279,7 +300,7 @@ def step_core_padded(cfg, Up: Cons, Mp, dt) -> Cons:
             y0, x0 = PAD - 1, PAD
             dy, dx = 1, 0
 
-        qc = e2.cons_to_prim(_cwin(Up, y0, x0, h, w), cfg.gamma)
+        qc = _pwin(y0, x0, h, w)
 
         def nbr(sgn):
             Un = _cwin(Up, y0 + sgn * dy, x0 + sgn * dx, h, w)
@@ -289,7 +310,7 @@ def step_core_padded(cfg, Up: Cons, Mp, dt) -> Cons:
 
         qm = e2.cons_to_prim(nbr(-1), cfg.gamma)
         qp = e2.cons_to_prim(nbr(+1), cfg.gamma)
-        qL, qR = e2.reconstruct_faces(qm, qc, qp)
+        qL, qR = e2.reconstruct_faces(qm, qc, qp, skip_clean=skip_clean)
 
         FL = e2.flux(e2.prim_to_cons(qL, cfg.gamma), cfg.gamma, axis)
         FR = e2.flux(e2.prim_to_cons(qR, cfg.gamma), cfg.gamma, axis)
@@ -303,15 +324,13 @@ def step_core_padded(cfg, Up: Cons, Mp, dt) -> Cons:
     xL, xR = predict_axis(0)
     fluidL = ~_win(Mp, PAD, PAD - 1, H, W + 1)   # cells -1..W-1
     fluidR = ~_win(Mp, PAD, PAD, H, W + 1)       # cells 0..W
-    cellL = _cwin(Up, PAD, PAD - 1, H, W + 1)
-    cellR = _cwin(Up, PAD, PAD, H, W + 1)
     ghostL = e2.prim_to_cons(
-        e2.wall_ghost(e2.cons_to_prim(cellR, cfg.gamma)), cfg.gamma)
+        e2.wall_ghost(_pwin(PAD, PAD, H, W + 1)), cfg.gamma)
     ghostR = e2.prim_to_cons(
-        e2.wall_ghost(e2.cons_to_prim(cellL, cfg.gamma)), cfg.gamma)
+        e2.wall_ghost(_pwin(PAD, PAD - 1, H, W + 1)), cfg.gamma)
     UL = e2.c_where(fluidL, Cons(*(f[:, :-1] for f in xR)), ghostL)
     UR = e2.c_where(fluidR, Cons(*(f[:, 1:] for f in xL)), ghostR)
-    Fx = hllc(UL, UR, cfg.gamma, axis=0)
+    Fx = hllc(UL, UR, cfg.gamma, axis=0, skip_clean=skip_clean)
     zero = Cons(*(jnp.zeros_like(Fx.rho) for _ in range(4)))
     Fx = e2.c_where(fluidL | fluidR, Fx, zero)
 
@@ -319,22 +338,20 @@ def step_core_padded(cfg, Up: Cons, Mp, dt) -> Cons:
     yL, yR = predict_axis(1)
     fluidB = ~_win(Mp, PAD - 1, PAD, H + 1, W)
     fluidT = ~_win(Mp, PAD, PAD, H + 1, W)
-    cellB = _cwin(Up, PAD - 1, PAD, H + 1, W)
-    cellT = _cwin(Up, PAD, PAD, H + 1, W)
     ghostB = e2.prim_to_cons(
-        e2.wall_ghost(e2.cons_to_prim(cellT, cfg.gamma)), cfg.gamma)
+        e2.wall_ghost(_pwin(PAD, PAD, H + 1, W)), cfg.gamma)
     ghostT = e2.prim_to_cons(
-        e2.wall_ghost(e2.cons_to_prim(cellB, cfg.gamma)), cfg.gamma)
+        e2.wall_ghost(_pwin(PAD - 1, PAD, H + 1, W)), cfg.gamma)
     UB = e2.c_where(fluidB, Cons(*(f[:-1, :] for f in yR)), ghostB)
     UT = e2.c_where(fluidT, Cons(*(f[1:, :] for f in yL)), ghostT)
-    Gy = hllc(UB, UT, cfg.gamma, axis=1)
+    Gy = hllc(UB, UT, cfg.gamma, axis=1, skip_clean=skip_clean)
     zero = Cons(*(jnp.zeros_like(Gy.rho) for _ in range(4)))
     Gy = e2.c_where(fluidB | fluidT, Gy, zero)
 
     # ---- conservative update ----
     Uc = _cwin(Up, PAD, PAD, H, W)
     maskc = _win(Mp, PAD, PAD, H, W)
-    center = e2.cons_to_prim(Uc, cfg.gamma)
+    center = _pwin(PAD, PAD, H, W)
 
     Un = Cons(*(
         u - dt * (f[:, 1:] - f[:, :-1]) - dt * (g[1:, :] - g[:-1, :])

@@ -195,6 +195,20 @@ def test_stam3d_pallas_lin_solve_bitwise():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_stam3d_jacobi_band_picker():
+    """Deep bands amortize the 3-copy window traffic: the reference default
+    (192^3, 12 iters) must run the whole solve in ONE pass, and every pick
+    must satisfy the halo/parity constraints (ip <= band, ip even,
+    iters % ip == 0)."""
+    from fluidsims_tpu.kernels import stam3d_pallas as sp
+
+    assert sp._pick_jacobi_band(192, 12) == (16, 12)
+    for n, iters in ((16, 12), (32, 12), (192, 12), (64, 8), (20, 6)):
+        jb, ip = sp._pick_jacobi_band(n, iters)
+        assert n % jb == 0
+        assert ip <= jb and ip % 2 == 0 and iters % ip == 0
+
+
 def test_stam3d_resolve_engine_and_capped_count():
     import pytest
 
