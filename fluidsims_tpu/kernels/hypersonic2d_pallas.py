@@ -57,7 +57,7 @@ from ..solvers.hypersonic2d import PAD
 __all__ = ["step_pallas", "run_pallas", "make_step_pallas"]
 
 
-def _band_kernel(cfg, n_fields, wtp, skip_clean, dt_ref, *refs):
+def _band_kernel(cfg, n_fields, wtp, dt_ref, *refs):
     """One row band x one column tile: assemble halo windows from 3
     adjacent row blocks per field and run the shared physics core.  `wtp`
     is the logical tile width incl. x halos; stored blocks may be wider
@@ -78,11 +78,16 @@ def _band_kernel(cfg, n_fields, wtp, skip_clean, dt_ref, *refs):
     Up = Cons(*fields[:4])
     Mp = fields[4] > 0.5
 
-    # skip_clean: bands with no pathological cells (most of them — only
-    # bands crossed by the bow shock repair faces) skip the positivity
-    # contraction rounds and the HLLE fallback via scalar conds;
-    # bitwise-identical to the unconditional XLA dataflow path
-    out = h2.step_core_padded(cfg, Up, Mp, dt, skip_clean=True)
+    # Negative result: gating the positivity contraction rounds and the
+    # HLLE fallback behind per-band any(bad) scalar conds (the reference's
+    # early-exit, tau_hypersonic_cuda.cu:373-398) looked like free
+    # arithmetic removal for the clean bands but MEASURED 28% SLOWER on
+    # hardware (159 vs 222 steps/s at 2048^2, band=16): Mosaic keeps both
+    # branch states live across the cond (the kernel needed a 64M VMEM
+    # limit raise just to compile) and the bands lose software pipelining,
+    # costing more than the skipped vector work saves.  Straight-line
+    # dataflow stays.
+    out = h2.step_core_padded(cfg, Up, Mp, dt)
     for o_ref, val in zip(outs, out):
         o_ref[:] = val
 
@@ -155,10 +160,6 @@ def make_step_pallas(cfg: h2.Hypersonic2DConfig, band: int = 16,
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((H, W), cfg.jax_dtype)
                    for _ in range(n_fields)],
-        # the skip_clean conds keep both branch states live, nudging the
-        # stack past the default 16M scoped limit at band=16 x 2048
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )
 

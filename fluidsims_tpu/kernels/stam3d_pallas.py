@@ -43,35 +43,19 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["make_lin_solve_pallas", "make_advect_pallas",
            "make_set_bnd_pallas", "make_step_pallas"]
 
-_JB = 4     # fallback jacobi band (z slices per program); also the window halo
+_JB = 4     # jacobi band (z slices per program); also the window halo
 _JCOPIES = 3  # window copies (band + one halo block per side)
-_IP = 4     # fallback jacobi iterations fused per pass (<= _JB)
+_IP = 4     # jacobi iterations fused per pass (<= _JB)
 _AB = 4     # advect band
 
-
-def _pick_jacobi_band(n: int, iters: int) -> tuple[int, int]:
-    """Choose (band, iters-per-pass) for the z-banded Jacobi.
-
-    HBM traffic per solve is `passes x 7 volumes` (3 window copies of cur,
-    3 of x0, 1 out), while the redundant halo compute ratio is fixed at 3x
-    regardless of band depth — so the deepest band whose halo covers the
-    most iterations minimizes traffic at no extra arithmetic.  At the
-    192^3 reference default this takes the 12-iteration solve from 3
-    passes (band 4) to 1 (band 16): measured 4.46 ms -> ~1.6 ms per solve
-    (the solves were at the ~130 GB/s HBM bound, BASELINE.md).
-
-    Constraints: band divides into the z extent cleanly enough that the
-    clamped edge blocks stay junk-beyond-the-ring (any band works — the
-    grid is already ragged over Np = n+2); iters-per-pass must be <= band
-    (halo depth) and EVEN, so every pass ends on ping-pong parity with
-    x's original ghost ring (the final restore assumes it)."""
-    for jb in (16, 8, 4):
-        if n % jb:
-            continue
-        for ip in range(min(jb, iters), 0, -1):
-            if iters % ip == 0 and ip % 2 == 0:
-                return jb, ip
-    return _JB, _IP
+# Negative result: a deeper Jacobi band (band 16, all 12 iterations in ONE
+# pass instead of 3) promises 3x less window traffic per solve, but the
+# same-session hardware A/B at the 192^3 reference default measured it
+# 23.5 vs 24.4 steps/s — slightly SLOWER end-to-end.  The 16x194x194
+# window copies (6 in + 1 out ≈ 17 MB) exceed scoped VMEM, so Mosaic
+# spills exactly the traffic the deeper band was meant to save; band 4
+# (≈4.3 MB live) stays resident and the solve stays a minority of the
+# step next to the dense-shift advection.  Fixed band 4 stays.
 
 
 def _jacobi_kernel(a, c, it0, ip, Np, B, hw, *refs):

