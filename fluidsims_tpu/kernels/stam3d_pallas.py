@@ -25,9 +25,13 @@ advection materializes every shifted volume in HBM — together ~0.2 s per
 * `make_set_bnd_pallas` — all four fields' reflective ghost faces in one
   read+write pass (the .at[].set form copies the full volume per face).
 
-Measured at 192^3 f32 on one v5e chip: 31.4 steps/s (222 MLUPS) for the
-full frame step, vs 4.5 steps/s for the XLA dense path and 0.4 for the
-XLA exact-gather path in round 1.
+Measured at 192^3 f32 on one v5e chip with the fixed band-4 config:
+24.4 steps/s (173 MLUPS) for the full frame step, vs 4.5 steps/s for the
+XLA dense path and 0.4 for the XLA exact-gather path in round 1.  (An
+earlier adaptive-band build measured 31.4 steps/s in round 2; the
+band-16 single-pass variant it picked at 192^3 was re-measured at 23.5
+steps/s in round 3 — see the negative-result note below — so the fixed
+band is what ships.)
 """
 
 from __future__ import annotations
@@ -109,13 +113,15 @@ def make_lin_solve_pallas(n: int, a: float, c: float, iters: int,
                           dtype=jnp.float32, interpret: bool = False):
     """Build lin_solve(x, x0) -> x_new on (n+2)^3 arrays, bit-identical to
     solvers.stam3d._lin_solve for even `iters`."""
-    jb, ip = _pick_jacobi_band(n, iters)
-    if iters % ip or iters % 2:
-        raise ValueError(f"iters={iters} must be even and divisible by {ip}")
+    # Fixed band (see the negative-result note above): band _JB stays
+    # VMEM-resident; ip = the largest even divisor of `iters` that fits
+    # the halo (ip <= jb), so e.g. iters=12 -> ip=4 (3 passes).
+    jb = _JB
+    if iters % 2:
+        raise ValueError(f"iters={iters} must be even")
+    ip = max(p for p in range(2, jb + 1, 2) if iters % p == 0)
     if n % jb:
         raise ValueError(f"n={n} must be divisible by {jb}")
-    if ip > jb:
-        raise ValueError("iterations per pass must be <= the band halo")
     Np = n + 2
     B = jb
     nc = _JCOPIES

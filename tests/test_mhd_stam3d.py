@@ -195,18 +195,35 @@ def test_stam3d_pallas_lin_solve_bitwise():
     np.testing.assert_array_equal(got, ref)
 
 
-def test_stam3d_jacobi_band_picker():
-    """Deep bands amortize the 3-copy window traffic: the reference default
-    (192^3, 12 iters) must run the whole solve in ONE pass, and every pick
-    must satisfy the halo/parity constraints (ip <= band, ip even,
-    iters % ip == 0)."""
+def test_stam3d_jacobi_fixed_band():
+    """The Jacobi band is FIXED at _JB (the measured round-3 winner; the
+    adaptive band-16 pick was re-measured slower and removed).  Every
+    buildable config must satisfy the halo/parity constraints, odd or
+    indivisible configs must fail fast, and an iters count that is even
+    but not divisible by the default pass depth (e.g. 6) must still build
+    and stay bitwise-exact vs the XLA solve."""
+    import pytest
     from fluidsims_tpu.kernels import stam3d_pallas as sp
 
-    assert sp._pick_jacobi_band(192, 12) == (16, 12)
     for n, iters in ((16, 12), (32, 12), (192, 12), (64, 8), (20, 6)):
-        jb, ip = sp._pick_jacobi_band(n, iters)
-        assert n % jb == 0
-        assert ip <= jb and ip % 2 == 0 and iters % ip == 0
+        assert n % sp._JB == 0
+        solve = sp.make_lin_solve_pallas(n, 1.0, 6.0, iters, interpret=True)
+        assert solve is not None
+    with pytest.raises(ValueError):
+        sp.make_lin_solve_pallas(16, 1.0, 6.0, 7, interpret=True)  # odd
+    with pytest.raises(ValueError):
+        sp.make_lin_solve_pallas(18, 1.0, 6.0, 12, interpret=True)  # n % jb
+
+    # iters=6 -> ip=2 (3 passes): still bit-identical to the XLA solve
+    import dataclasses
+    cfg = dataclasses.replace(stam3d.Stam3DConfig(n=16), jacobi_iters=6)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(18, 18, 18)), jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(18, 18, 18)), jnp.float32)
+    solve = sp.make_lin_solve_pallas(cfg.n, 1.0, 6.0, 6, interpret=True)
+    got = np.asarray(solve(x, x0))
+    ref = np.asarray(stam3d._lin_solve(cfg, x, x0, 1.0, 6.0))
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_stam3d_resolve_engine_and_capped_count():
