@@ -178,14 +178,21 @@ def _advect(cfg, q0, uu, vv):
 
 def _project(cfg, uu, vv, dx_w, dy_w, lin_solve=None):
     """Divergence -> 40-iter Jacobi Poisson (from p=0) -> gradient subtract
-    (k_div/k_proj + lin_solve, js_cuda.cu:105-124,170-181)."""
+    (k_div/k_proj + lin_solve, js_cuda.cu:105-124,170-181).  The reference
+    divides by the cell widths; this multiplies by their reciprocals
+    (identical to ~1 ulp) so the expression is division-rewrite-proof —
+    XLA folds X/const into X*(1/const) for compile-time-constant widths
+    but not for runtime operands, which would break the bitwise
+    single-chip/sharded equivalence gate (tests/test_stam_sharded.py)."""
     if lin_solve is None:
         lin_solve = lambda x, b, a, c: _lin_solve(cfg, x, b, a, c)  # noqa: E731
+    inv_dx = 1.0 / dx_w
+    inv_dy = 1.0 / dy_w
     pu = jnp.pad(uu, 1)
     pv = jnp.pad(vv, 1)
     div = -0.5 * (
-        (pu[1:-1, 2:] - pu[1:-1, :-2]) / dx_w[None, :]
-        + (pv[2:, 1:-1] - pv[:-2, 1:-1]) / dy_w[:, None]
+        (pu[1:-1, 2:] - pu[1:-1, :-2]) * inv_dx[None, :]
+        + (pv[2:, 1:-1] - pv[:-2, 1:-1]) * inv_dy[:, None]
     )
     p = lin_solve(jnp.zeros_like(div), div, 1.0, 4.0)
     pp = jnp.pad(p, 1)
