@@ -46,11 +46,31 @@ class Context:
 
 class RawStdin:
     """Non-blocking single-character reads from a raw-mode terminal;
-    degrades to a silent no-op when stdin is not a tty."""
+    degrades to a silent no-op when stdin is not a tty.
+
+    Signal traps (the js_cuda.cu:284-292 cleanup analog): while raw mode
+    is active, SIGTERM/SIGHUP restore the terminal and exit with the
+    conventional 128+signum status — a plain `kill` would otherwise
+    terminate the process without unwinding the `with` block and leave
+    the terminal in cbreak mode.  (SIGINT already unwinds through
+    KeyboardInterrupt, which __exit__ handles.)"""
+
+    _TRAPPED = ("SIGTERM", "SIGHUP")
 
     def __init__(self):
         self._active = False
         self._old = None
+        self._prev_handlers = {}
+
+    def _restore(self):
+        if self._active:
+            self._termios.tcsetattr(self._fd, self._termios.TCSADRAIN,
+                                    self._old)
+            self._active = False
+
+    def _on_signal(self, signum, frame):
+        self._restore()
+        raise SystemExit(128 + signum)
 
     def __enter__(self):
         try:
@@ -65,12 +85,30 @@ class RawStdin:
                 self._active = True
         except Exception:
             self._active = False
+        if self._active:
+            try:
+                import signal
+
+                for name in self._TRAPPED:
+                    sig = getattr(signal, name, None)
+                    if sig is not None:
+                        self._prev_handlers[sig] = signal.signal(
+                            sig, self._on_signal)
+            except (ValueError, OSError):
+                pass  # non-main thread: no traps, restore-on-exit only
         return self
 
     def __exit__(self, *exc):
-        if self._active:
-            self._termios.tcsetattr(self._fd, self._termios.TCSADRAIN,
-                                    self._old)
+        self._restore()
+        if self._prev_handlers:
+            import signal
+
+            for sig, prev in self._prev_handlers.items():
+                try:
+                    signal.signal(sig, prev)
+                except (ValueError, OSError):
+                    pass
+            self._prev_handlers = {}
         return False
 
     def pending(self) -> str:

@@ -210,3 +210,55 @@ def test_traced_nudges_match_baked_config():
     fab = fa.run(fcfg, fs, 2, flip=0.5, apic=0.3)
     assert np.array_equal(np.asarray(faa.pos), np.asarray(fab.pos))
     assert np.array_equal(np.asarray(faa.vel), np.asarray(fab.vel))
+
+
+def test_rawstdin_sigterm_restores_terminal():
+    """`kill <pid>` during an interactive session must restore the
+    terminal (cbreak off) and exit 128+SIGTERM — the js_cuda.cu:284-292
+    signal-trap analog.  Runs a child under a real pty."""
+    import os
+    import pty
+    import signal
+    import sys
+    import termios
+    import time
+
+    pid, master = pty.fork()
+    if pid == 0:  # child: enter raw mode on the pty, then idle
+        try:
+            # pytest's capture replaces sys.stdin with a non-tty stub;
+            # rebind it to the pty slave the fork put on fd 0
+            sys.stdin = os.fdopen(0, "r")
+            from fluidsims_tpu.core.interactive import RawStdin
+
+            with RawStdin() as raw:
+                assert raw._active, "child stdin must be the pty"
+                os.write(1, b"R")  # ready marker
+                time.sleep(30)
+            os._exit(1)  # the sleep must be interrupted by the trap
+        except SystemExit as e:
+            os._exit(e.code if isinstance(e.code, int) else 1)
+        except BaseException:
+            os._exit(99)
+
+    try:
+        # wait for the child to enter raw mode
+        deadline = time.time() + 20
+        got = b""
+        while b"R" not in got and time.time() < deadline:
+            try:
+                got += os.read(master, 1)
+            except OSError:
+                break
+        assert b"R" in got, "child never entered raw mode"
+        attrs = termios.tcgetattr(master)
+        assert not (attrs[3] & termios.ICANON), "cbreak must be active"
+
+        os.kill(pid, signal.SIGTERM)
+        _, status = os.waitpid(pid, 0)
+        assert os.waitstatus_to_exitcode(status) == 128 + signal.SIGTERM
+        attrs = termios.tcgetattr(master)
+        assert attrs[3] & termios.ICANON, "terminal must be restored"
+        assert attrs[3] & termios.ECHO
+    finally:
+        os.close(master)

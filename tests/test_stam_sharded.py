@@ -167,3 +167,113 @@ def test_stam2d_sharded_counts_halo_overflow():
     run = sh.make_sharded_run(cfg, mesh, 1, halo_k=4, advect_halo=2)
     out = run(sh.shard_state(s, mesh))
     assert int(out.ovf) > 0
+
+
+# ---------------------------------------------------------------- stam3d
+
+
+from fluidsims_tpu.solvers import stam3d  # noqa: E402
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_stam3d_sharded_lin_solve_bitwise(n_dev):
+    """Ring-parity K-deep Jacobi must be bitwise equal to the single-chip
+    solve, including the live (nonzero) ghost-ring alternation."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fluidsims_tpu.parallel import stam3d_sharded as sh
+
+    cfg = stam3d.Stam3DConfig(n=16)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(18, 18, 18)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(18, 18, 18)), jnp.float32)
+    ref = np.asarray(stam3d._lin_solve(cfg, x, b, 1.0, 6.0))
+
+    mesh = make_mesh_1d(n_dev)
+    Zp = sh.padded_z(cfg.n, n_dev)
+    B = Zp // n_dev
+    xs = jnp.pad(x, ((0, Zp - 18), (0, 0), (0, 0)))
+    bs = jnp.pad(b, ((0, Zp - 18), (0, 0), (0, 0)))
+    spec = P("x", None, None)
+    for halo_k in (1, 2, 4):
+        if halo_k > B:
+            continue
+        body = jax.shard_map(
+            lambda xx, bb: sh._lin_solve_sharded(
+                xx, bb, 1.0, 6.0, cfg.jacobi_iters, halo_k, 18,
+                jax.lax.axis_index("x") * B, "x", n_dev),
+            mesh=mesh, in_specs=(spec,) * 2, out_specs=spec,
+            check_vma=False)
+        got = np.asarray(jax.jit(body)(
+            jax.device_put(xs, NamedSharding(mesh, spec)),
+            jax.device_put(bs, NamedSharding(mesh, spec))))[:18]
+        np.testing.assert_array_equal(got, ref, err_msg=f"halo_k={halo_k}")
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_stam3d_sharded_operators_bitwise(n_dev):
+    """set_bnd and the dense advection must match the single-chip ops
+    bitwise at D=2 (few-ulp tolerance elsewhere, as for 2-D)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fluidsims_tpu.parallel import stam3d_sharded as sh
+
+    cfg = stam3d.Stam3DConfig(n=16, advect_k=2)
+    s = stam3d.init(cfg)
+    mesh = make_mesh_1d(n_dev)
+    Zp = sh.padded_z(cfg.n, n_dev)
+    B = Zp // n_dev
+    spec = P("x", None, None)
+
+    def put(a):
+        return jax.device_put(jnp.pad(a, ((0, Zp - 18), (0, 0), (0, 0))),
+                              NamedSharding(mesh, spec))
+
+    # set_bnd
+    ref = stam3d.set_bnd(s.u, s.v, s.w, s.d)
+    body = jax.shard_map(
+        lambda u, v, w, d: sh._set_bnd_sharded(
+            u, v, w, d, 18, jax.lax.axis_index("x") * B, "x", n_dev),
+        mesh=mesh, in_specs=(spec,) * 4, out_specs=(spec,) * 4,
+        check_vma=False)
+    got = jax.jit(body)(put(s.u), put(s.v), put(s.w), put(s.d))
+    for i, nm in enumerate(("u", "v", "w", "d")):
+        np.testing.assert_array_equal(np.asarray(got[i])[:18],
+                                      np.asarray(ref[i]),
+                                      err_msg=f"set_bnd {nm}")
+
+    # dense advection (the K-cap is identical on both sides, so even the
+    # violent seed flow matches)
+    refa = jax.jit(
+        lambda q, u, v, w: stam3d._advect_dense(cfg, q, u, v, w))(
+        s.d, s.u, s.v, s.w)
+    abody = jax.shard_map(
+        lambda q, u, v, w: sh._advect_sharded(
+            cfg, q, u, v, w, 18, jax.lax.axis_index("x") * B, "x", n_dev),
+        mesh=mesh, in_specs=(spec,) * 4, out_specs=spec, check_vma=False)
+    gota = jax.jit(abody)(put(s.d), put(s.u), put(s.v), put(s.w))
+    _assert_op_equal(np.asarray(gota)[:18], np.asarray(refa), n_dev,
+                     "advect3d")
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_stam3d_sharded_step_matches(n_dev):
+    """Full 3-frame sharded run vs the single-chip XLA engine (tolerance:
+    FMA contraction varies with fusion boundaries, as for 2-D)."""
+    from fluidsims_tpu.parallel import stam3d_sharded as sh
+
+    cfg = stam3d.Stam3DConfig(n=16, advect_k=2, engine="xla")
+    s = stam3d.init(cfg)
+    ref = s
+    for _ in range(3):
+        ref = stam3d._step_xla(cfg, ref)
+
+    mesh = make_mesh_1d(n_dev)
+    run = sh.make_sharded_run(cfg, mesh, 3, halo_k=4 if n_dev <= 4 else 2)
+    got = sh.unshard_state(run(sh.shard_state(s, mesh)), cfg.n)
+
+    for f in ("u", "v", "w", "u0", "v0", "w0", "d", "d0"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, f)), np.asarray(getattr(ref, f)),
+            atol=5e-5, rtol=1e-4, err_msg=f)
+    assert int(got.step_idx) == int(ref.step_idx)
