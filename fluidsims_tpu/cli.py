@@ -650,12 +650,48 @@ def cmd_hypersonic3d(args):
 
 def cmd_th3cs(args):
     from .solvers import hypersonic3d as h3
-    from .solvers.th3cs import export_4spl
+    from .solvers.th3cs import export_4spl, export_4spl_streamed
 
     cfg = h3.default_config(args.n)
-    export_4spl(args.out, cfg, frames=args.frames,
-                steps_per_frame=args.steps_per_frame, verbose=True)
-    print(f"wrote {args.out}")
+    if not args.serve:
+        export_4spl(args.out, cfg, frames=args.frames,
+                    steps_per_frame=args.steps_per_frame, verbose=True)
+        print(f"wrote {args.out}")
+        return
+
+    # --serve: stream frames into a directory served alongside the web
+    # viewer, so the shock forms live in the browser while the solver
+    # runs (the reference's interactive volume window,
+    # tau_hypersonic_3d_cuda.cu:1416-1497, re-homed to a host viewer)
+    import pathlib
+    import shutil
+    import tempfile
+    import time
+
+    from .io.live4spl import serve_dir
+
+    viewer = (pathlib.Path(__file__).resolve().parent.parent
+              / "viewer" / "index.html")
+    with tempfile.TemporaryDirectory(prefix="fst_live_") as tmp:
+        shutil.copy(viewer, pathlib.Path(tmp) / "index.html")
+        stream_path = pathlib.Path(tmp) / "volume.4spl"
+        srv, _ = serve_dir(tmp, args.port)
+        port = srv.server_address[1]
+        print(f"live viewer: http://127.0.0.1:{port}/index.html?live=1",
+              flush=True)
+        try:
+            export_4spl_streamed(stream_path, cfg, frames=args.frames,
+                                 steps_per_frame=args.steps_per_frame,
+                                 verbose=True)
+            shutil.copy(stream_path, args.out)
+            print(f"wrote {args.out}; still serving the replay "
+                  "(Ctrl-C to stop)", flush=True)
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.shutdown()
 
 
 def cmd_mhd(args):
@@ -1431,6 +1467,11 @@ def build_parser():
     p.add_argument("--out", default="tau_hypersonic.4spl")
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--steps-per-frame", type=int, default=4)
+    p.add_argument("--serve", action="store_true",
+                   help="stream frames to the web viewer while the "
+                        "solver runs (prints the live URL)")
+    p.add_argument("--port", type=int, default=0,
+                   help="--serve HTTP port (0 = pick a free one)")
     p.set_defaults(fn=cmd_th3cs)
 
     p = sub.add_parser("mhd", help="ideal MHD + GLM cleaning (tau_mhd)")
@@ -1450,15 +1491,18 @@ def build_parser():
 
     p = sub.add_parser("stam2d", help="stable fluids log-eta grid (js_cuda)")
     p.add_argument("--n", type=int, default=512)
-    p.add_argument("--engine", choices=("auto", "pallas", "xla"),
+    p.add_argument("--engine", choices=("auto", "hybrid", "pallas", "xla"),
                    default="auto",
-                   help="auto = banded VMEM advection kernel on TPU "
-                        "(kernels/stam2d_pallas.py), exact XLA gathers "
-                        "elsewhere")
+                   help="auto = hybrid on TPU: banded VMEM advection "
+                        "kernel with an exact-gather fallback on frames "
+                        "whose backtrace would overflow the band (zero "
+                        "clamped cells); pallas = pure banded (clamps + "
+                        "warns); xla = exact gathers everywhere")
     p.add_argument("--advect-band", type=int, default=16,
                    dest="advect_band",
-                   help="pallas engine: row backtrace band in cells; "
-                        "farther backtraces clamp (warned)")
+                   help="row backtrace band in cells; the pallas engine "
+                        "clamps farther backtraces (warned), the hybrid "
+                        "engine falls back to the exact gather")
     _common(p, 100)
     p.set_defaults(fn=cmd_stam2d)
 

@@ -53,7 +53,14 @@ class Stam2DConfig(BaseConfig):
     # than this are clamped to the band edge and counted
     # (advect_overflow_count) — the kernels/stam2d_pallas.py contract
     advect_band: int = 16
-    engine: str = "auto"   # auto | pallas | xla
+    # auto | hybrid | pallas | xla.  'hybrid' (the TPU default) is
+    # exact-by-default: each advection checks whether any backtrace row
+    # displacement exceeds advect_band and lax.cond-switches to the exact
+    # XLA gather for that frame (the seed-swirl transient), the banded
+    # VMEM kernel otherwise — zero clamped cells at banded-kernel speed
+    # once the flow settles.  'pallas' forces the banded kernel (clamps +
+    # counts), 'xla' forces the exact gather everywhere.
+    engine: str = "auto"
     dtype: str = "float32"
 
     def validate(self):
@@ -62,8 +69,8 @@ class Stam2DConfig(BaseConfig):
         self._require(self.eta_max > self.eta_min, "eta range must be nonempty")
         self._require(1 <= self.advect_band <= 128,
                       "advect_band must be in [1, 128]")
-        self._require(self.engine in ("auto", "pallas", "xla"),
-                      "engine must be auto, pallas or xla")
+        self._require(self.engine in ("auto", "hybrid", "pallas", "xla"),
+                      "engine must be auto, hybrid, pallas or xla")
 
 
 class Stam2DState(NamedTuple):
@@ -226,19 +233,35 @@ def _add_source(cfg, u, v, d, step_idx):
 
 
 def resolve_engine(cfg: Stam2DConfig) -> str:
-    """Static engine choice: the banded VMEM advection kernel
-    (kernels/stam2d_pallas.py) when eligible on TPU, XLA otherwise."""
+    """Static engine choice: the exact-by-default hybrid (banded VMEM
+    advection kernel with a per-frame lax.cond fallback to the exact
+    gather on band overflow) when eligible on TPU, XLA otherwise."""
     if cfg.engine == "xla":
         return "xla"
     eligible = cfg.dtype == "float32" and cfg.n % 128 == 0
-    if cfg.engine == "pallas":
+    if cfg.engine in ("pallas", "hybrid"):
         if not eligible:
             raise ValueError(
-                "engine='pallas' requires float32 and n % 128 == 0")
-        return "pallas"
+                f"engine='{cfg.engine}' requires float32 and n % 128 == 0")
+        return cfg.engine
     import jax
 
-    return "pallas" if (eligible and jax.default_backend() == "tpu") else "xla"
+    return "hybrid" if (eligible and jax.default_backend() == "tpu") else "xla"
+
+
+def _row_overflow_any(cfg: Stam2DConfig, vv):
+    """True when any backtrace row displacement for velocity field `vv`
+    exceeds advect_band — i.e. the banded kernel would clamp this frame
+    (same displacement convention as kernels/stam2d_pallas.py)."""
+    n = cfg.n
+    deta = (cfg.eta_max - cfg.eta_min) / n
+    idx = jnp.arange(1, n + 1, dtype=vv.dtype)
+    eta = cfg.eta_min + (idx - 0.5) * deta
+    yp = cfg.y0 * jnp.exp(eta)[:, None]
+    by = eta[:, None] - cfg.dt * vv / yp
+    tarr = jnp.clip((by - cfg.eta_min) / deta + 0.5, 0.5, n + 0.5)
+    disp = jnp.floor(tarr) - idx[:, None]
+    return jnp.any(jnp.abs(disp) > cfg.advect_band)
 
 
 def advect_overflow_count(cfg: Stam2DConfig, s: Stam2DState):
@@ -267,7 +290,8 @@ def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
     dx_w = jnp.asarray(_cell_widths(cfg), cfg.jax_dtype)
     dy_w = dx_w
 
-    if resolve_engine(cfg) == "pallas":
+    engine = resolve_engine(cfg)
+    if engine in ("pallas", "hybrid"):
         import jax
 
         from ..kernels.stam2d_pallas import (make_advect_pallas,
@@ -281,15 +305,34 @@ def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
         # on the last frame
         frame_ovf = [jnp.asarray(0, jnp.int32)]
 
-        def advect(q0, uu, vv):
-            q, o = adv(q0, uu, vv)
-            frame_ovf[0] = frame_ovf[0] + o.astype(jnp.int32)
-            return q
+        if engine == "hybrid":
+            # exact-by-default: lax.cond to the exact gather whenever the
+            # band would clamp (the banded path never runs clamped, so
+            # state.ovf stays 0 and the result is exact on every frame)
+            def advect(q0, uu, vv):
+                return lax.cond(
+                    _row_overflow_any(cfg, vv),
+                    lambda q, u, v: _advect(cfg, q, u, v),
+                    lambda q, u, v: adv(q, u, v)[0],
+                    q0, uu, vv)
 
-        def advect_pair(qa, qb, uu, vv):
-            ra, rb, o = adv2(qa, qb, uu, vv)
-            frame_ovf[0] = frame_ovf[0] + o.astype(jnp.int32)
-            return ra, rb
+            def advect_pair(qa, qb, uu, vv):
+                return lax.cond(
+                    _row_overflow_any(cfg, vv),
+                    lambda a, b, u, v: (_advect(cfg, a, u, v),
+                                        _advect(cfg, b, u, v)),
+                    lambda a, b, u, v: adv2(a, b, u, v)[:2],
+                    qa, qb, uu, vv)
+        else:
+            def advect(q0, uu, vv):
+                q, o = adv(q0, uu, vv)
+                frame_ovf[0] = frame_ovf[0] + o.astype(jnp.int32)
+                return q
+
+            def advect_pair(qa, qb, uu, vv):
+                ra, rb, o = adv2(qa, qb, uu, vv)
+                frame_ovf[0] = frame_ovf[0] + o.astype(jnp.int32)
+                return ra, rb
 
         solve = make_lin_solve_pallas(cfg.n, cfg.jacobi_iters,
                                       cfg.jax_dtype, interpret=interp)

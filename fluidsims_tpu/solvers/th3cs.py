@@ -18,7 +18,35 @@ from ..io import fourspl
 from ..io.fourspl_native import write_4spl_best
 from . import hypersonic3d as h3
 
-__all__ = ["export_4spl"]
+__all__ = ["export_4spl", "export_4spl_streamed"]
+
+
+def _make_frame_fn(cfg, steps_per_frame: int, impl: str):
+    """Build the per-frame fused dispatch: steps -> schlieren -> on-device
+    gamma-0.65 quantization; only uint8 indices cross the host link."""
+
+    def make(step_once):
+        from ..core.stepper import scan_steps
+
+        def frame_fn(s):
+            s2 = scan_steps(step_once, s, steps_per_frame)
+            vol = h3.vis_field(cfg, s2, "schlieren")
+            return s2, fourspl.quantize_frame_device(vol, gamma=0.65)
+
+        return jax.jit(frame_fn)
+
+    state = h3.init(cfg)
+    if impl in ("pallas", "auto"):
+        try:
+            from ..kernels import hypersonic3d_pallas as hp3
+
+            frame_fn = make(hp3.make_step_pallas(cfg))
+            jax.block_until_ready(frame_fn(state)[1])
+            return frame_fn
+        except Exception:
+            if impl == "pallas":
+                raise
+    return make(lambda s: h3.step(cfg, s))
 
 
 def export_4spl(
@@ -37,33 +65,10 @@ def export_4spl(
     cfg = cfg or h3.default_config()
     state = h3.init(cfg)
 
-    # one fused dispatch per frame: steps -> schlieren -> on-device
-    # quantization; only uint8 indices cross the host link, and a small
-    # window of frames stays in flight so transfers overlap compute
-    # (the reference's one-readback-per-frame discipline, made async)
-    def make_frame_fn(step_once):
-        from ..core.stepper import scan_steps
-
-        def frame_fn(s):
-            s2 = scan_steps(step_once, s, steps_per_frame)
-            vol = h3.vis_field(cfg, s2, "schlieren")
-            return s2, fourspl.quantize_frame_device(vol, gamma=0.65)
-
-        return jax.jit(frame_fn)
-
-    frame_fn = None
-    if impl in ("pallas", "auto"):
-        try:
-            from ..kernels import hypersonic3d_pallas as hp3
-
-            frame_fn = make_frame_fn(hp3.make_step_pallas(cfg))
-            jax.block_until_ready(frame_fn(state)[1])
-        except Exception:
-            if impl == "pallas":
-                raise
-            frame_fn = None
-    if frame_fn is None:
-        frame_fn = make_frame_fn(lambda s: h3.step(cfg, s))
+    # one fused dispatch per frame; a small window of frames stays in
+    # flight so transfers overlap compute (the reference's
+    # one-readback-per-frame discipline, made async)
+    frame_fn = _make_frame_fn(cfg, steps_per_frame, impl)
 
     # bounded dispatch window: keep a few frames in flight so host
     # transfers overlap device compute, without pinning every quantized
@@ -96,3 +101,47 @@ def export_4spl(
     else:
         fourspl.write_4spl(path, video)
     return video
+
+
+def export_4spl_streamed(
+    path,
+    cfg: h3.Hypersonic3DConfig | None = None,
+    frames: int = 60,
+    steps_per_frame: int = 4,
+    p_size: int = 256,
+    verbose: bool = False,
+    impl: str = "auto",
+    on_frame=None,
+) -> None:
+    """Run the 3-D solver and stream the schlieren video: each frame is
+    appended to `path` (and published via the header frame count) the
+    moment it lands, so a polling viewer (viewer/index.html?live=1) shows
+    the shock forming while the solver runs.  After the final frame the
+    footer is written and the file is byte-identical to `export_4spl`'s.
+
+    `on_frame(i, total)` fires after frame i is on disk."""
+    from ..io.live4spl import Stream4splWriter
+
+    cfg = cfg or h3.default_config()
+    state = h3.init(cfg)
+    frame_fn = _make_frame_fn(cfg, steps_per_frame, impl)
+
+    window = 4
+    pending = []
+    with Stream4splWriter(path, cfg.nx, cfg.ny, cfg.nz,
+                          fourspl.heat_palette(p_size)) as wtr:
+
+        def collect(f, qf):
+            wtr.append(np.asarray(qf))
+            if verbose:
+                print(f"frame {f + 1}/{frames} streamed")
+            if on_frame is not None:
+                on_frame(f, frames)
+
+        for f in range(frames):
+            state, qf = frame_fn(state)
+            pending.append((f, qf))
+            if len(pending) >= window:
+                collect(*pending.pop(0))
+        for f, qf in pending:
+            collect(f, qf)

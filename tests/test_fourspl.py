@@ -119,3 +119,92 @@ def test_quantize_device_matches_host_bytes():
     dev = np.asarray(jax.jit(
         lambda v: fourspl.quantize_frame_device(v, 0.65))(vol))
     np.testing.assert_array_equal(host, dev)
+
+
+def test_streamed_export_matches_batch_and_is_readable_mid_write(tmp_path):
+    """The streaming writer must (a) produce a file byte-identical to the
+    batch export after finish(), and (b) present a valid, frame-clamped
+    stream to a reader that catches it mid-append (the live viewer's
+    poll)."""
+    import numpy as np
+
+    from fluidsims_tpu.io import fourspl
+    from fluidsims_tpu.io.live4spl import Stream4splWriter, read_4spl_partial
+    from fluidsims_tpu.solvers import hypersonic3d as h3
+    from fluidsims_tpu.solvers.th3cs import export_4spl, export_4spl_streamed
+
+    cfg = h3.default_config(16)
+    batch = tmp_path / "batch.4spl"
+    stream = tmp_path / "stream.4spl"
+    export_4spl(batch, cfg, frames=3, steps_per_frame=2, use_native=False,
+                impl="xla")
+
+    seen = []
+
+    def on_frame(i, total):
+        seen.append(i)
+        part = read_4spl_partial(stream)
+        assert part.frames == i + 1          # published immediately
+        assert part.width == part.height == part.depth == 16
+
+    export_4spl_streamed(stream, cfg, frames=3, steps_per_frame=2,
+                         impl="xla", on_frame=on_frame)
+    assert seen == [0, 1, 2]
+    assert batch.read_bytes() == stream.read_bytes()
+
+    # a torn read (mid-frame bytes) clamps to the complete frames
+    data = stream.read_bytes()
+    torn = tmp_path / "torn.4spl"
+    torn.write_bytes(data[: 32 + 256 * 48 + 2 * 16 ** 3 + 100])
+    part = read_4spl_partial(torn)
+    assert part.frames == 2
+    full = fourspl.read_4spl(stream)
+    np.testing.assert_array_equal(part.indices, full.indices[:2])
+
+    # writer rejects wrong frame geometry
+    with Stream4splWriter(tmp_path / "w.4spl", 4, 4, 4) as w:
+        w.append(np.zeros((4, 4, 4), np.uint8))
+        try:
+            w.append(np.zeros((5, 4, 4), np.uint8))
+            raise SystemExit("shape mismatch must be rejected")
+        except AssertionError:
+            pass
+
+
+def test_live_server_serves_viewer_and_growing_stream(tmp_path):
+    """`serve_dir` must serve the viewer page and the stream file with
+    caching disabled, and re-serve the grown file on re-fetch."""
+    import pathlib
+    import urllib.request
+
+    import numpy as np
+
+    from fluidsims_tpu.io.live4spl import Stream4splWriter, serve_dir
+
+    viewer = (pathlib.Path(__file__).resolve().parent.parent
+              / "viewer" / "index.html")
+    (tmp_path / "index.html").write_bytes(viewer.read_bytes())
+
+    srv, _ = serve_dir(tmp_path, 0)
+    try:
+        port = srv.server_address[1]
+
+        def get(name):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/{name}") as r:
+                return r.status, dict(r.headers), r.read()
+
+        st, hdr, body = get("index.html")
+        assert st == 200 and b"live" in body
+        assert "no-store" in hdr.get("Cache-Control", "")
+
+        w = Stream4splWriter(tmp_path / "volume.4spl", 4, 4, 4)
+        w.append(np.full((4, 4, 4), 7, np.uint8))
+        st, _, body1 = get("volume.4spl")
+        assert st == 200
+        w.append(np.full((4, 4, 4), 9, np.uint8))
+        st, _, body2 = get("volume.4spl")
+        assert len(body2) == len(body1) + 64   # the new frame is visible
+        w.finish()
+    finally:
+        srv.shutdown()

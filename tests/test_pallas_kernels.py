@@ -240,3 +240,57 @@ def test_stam2d_pair_advect_matches_single():
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(ra))
     np.testing.assert_array_equal(np.asarray(pb), np.asarray(rb))
     assert int(ovf_p) == int(ovf_a) == int(ovf_b)
+
+
+def test_stam2d_hybrid_engine_exact_by_default():
+    """The hybrid engine must (a) run the exact gather on frames where the
+    banded kernel would clamp — a violent single step matches the exact
+    XLA engine to lin-solve-kernel reassociation noise, while the pure
+    banded engine visibly deviates and counts overflow — and (b) keep
+    state.ovf at 0 across a violent multi-frame run.  (Tight multi-frame
+    equality is not testable: the in-band banded result differs from the
+    gather by ~1e-7 reassociation per frame, which the turbulent flow
+    amplifies chaotically.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from fluidsims_tpu.solvers import stam2d as st
+
+    # default dt: the seed swirl overflows a small band heavily
+    kw = dict(n=128, advect_band=4)
+    cfg_h = st.Stam2DConfig(engine="hybrid", **kw)
+    cfg_p = st.Stam2DConfig(engine="pallas", **kw)
+    cfg_x = st.Stam2DConfig(engine="xla", **kw)
+    s0 = st.init(cfg_x)
+    assert bool(st._row_overflow_any(cfg_h, s0.v)), \
+        "seed flow must overflow the band for this test to bite"
+
+    a1 = jax.jit(lambda s: st.step(cfg_h, s))(s0)
+    b1 = jax.jit(lambda s: st.step(cfg_x, s))(s0)
+    p1 = jax.jit(lambda s: st.step(cfg_p, s))(s0)
+    assert int(p1.ovf) > 0, "the pure banded engine must clamp here"
+    assert int(a1.ovf) == 0
+    # hybrid d comes from the exact branch; banded d is visibly clamped
+    d_hx = float(np.abs(np.asarray(a1.d) - np.asarray(b1.d)).max())
+    d_px = float(np.abs(np.asarray(p1.d) - np.asarray(b1.d)).max())
+    assert d_hx < 1e-5, d_hx
+    assert d_px > 10 * max(d_hx, 1e-7), (d_px, d_hx)
+
+    # violent multi-frame run: ovf must stay 0 (every clamping frame took
+    # the exact branch)
+    a5 = jax.jit(lambda s: st.run(cfg_h, s, 5))(s0)
+    assert int(a5.ovf) == 0
+
+    # calm flow: the banded branch runs and matches the exact engine
+    kw2 = dict(n=128, dt=0.02)
+    cfg_h2 = st.Stam2DConfig(engine="hybrid", **kw2)
+    cfg_x2 = st.Stam2DConfig(engine="xla", **kw2)
+    s2 = st.init(cfg_x2)
+    assert not bool(st._row_overflow_any(cfg_h2, s2.v))
+    a2 = jax.jit(lambda s: st.run(cfg_h2, s, 5))(s2)
+    b2 = jax.jit(lambda s: st.run(cfg_x2, s, 5))(s2)
+    assert int(a2.ovf) == 0
+    for f in ("u", "v", "d"):
+        np.testing.assert_allclose(np.asarray(getattr(a2, f)),
+                                   np.asarray(getattr(b2, f)),
+                                   rtol=0, atol=1e-4, err_msg=f)
