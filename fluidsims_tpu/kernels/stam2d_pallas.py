@@ -183,15 +183,19 @@ def _advect_kernel(*refs, dt, n, k_band, n_fields):
         o[:] = acc
 
 
-def make_advect_pallas(cfg, interpret: bool = False, n_fields: int = 1):
+def make_advect_pallas(cfg, interpret: bool = False, n_fields: int = 1,
+                       band: int | None = None):
     """Build the banded advection call for cfg.
 
     n_fields=1: advect(q0, uu, vv) -> (q_new, overflow_count).
     n_fields=2: advect(q0a, q0b, uu, vv) -> (qa, qb, overflow_count) —
     both fields back-traced with the same coordinates (the velocity
-    self-advection pair).  Requires float32 and n % 128 == 0."""
+    self-advection pair).  Requires float32 and n % 128 == 0.
+    `band` overrides cfg.advect_band (the hybrid engine's wide tier uses
+    bands past the config field's 128 cap; the kernel itself takes any
+    band <= n)."""
     n = cfg.n
-    K = cfg.advect_band
+    K = cfg.advect_band if band is None else band
     if n % _LANE:
         raise ValueError(f"pallas advection requires n % {_LANE} == 0")
     dt_ = cfg.jax_dtype

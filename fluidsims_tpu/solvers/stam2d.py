@@ -53,13 +53,21 @@ class Stam2DConfig(BaseConfig):
     # than this are clamped to the band edge and counted
     # (advect_overflow_count) — the kernels/stam2d_pallas.py contract
     advect_band: int = 16
-    # auto | hybrid | pallas | xla.  'hybrid' (the TPU default) is
-    # exact-by-default: each advection checks whether any backtrace row
-    # displacement exceeds advect_band and lax.cond-switches to the exact
-    # XLA gather for that frame (the seed-swirl transient), the banded
-    # VMEM kernel otherwise — zero clamped cells at banded-kernel speed
-    # once the flow settles.  'pallas' forces the banded kernel (clamps +
-    # counts), 'xla' forces the exact gather everywhere.
+    # hybrid sparse-fix budget: measured on the reference default, the
+    # orbiting source drives 25-70 cells/frame past band 16 FOREVER (not
+    # just the seed transient, whose first ~50 frames clamp ~72k
+    # cells/frame) — so "switch engines once the transient settles" never
+    # fires.  Instead the hybrid runs the banded kernel and repairs up to
+    # this many worst-displacement cells per advection with exact
+    # per-cell gathers (top_k + M-element gather/scatter, microseconds);
+    # frames with more clamped cells than the budget fall back to the
+    # full exact gather.
+    advect_fix_cells: int = 4096
+    # auto | hybrid | pallas | xla.  'hybrid' (the TPU default) never
+    # clamps: the banded VMEM kernel + sparse exact repair of every
+    # out-of-band cell when they fit the budget, the exact XLA gather
+    # otherwise (the seed transient).  'pallas' forces the banded kernel
+    # alone (clamps + counts), 'xla' forces the exact gather everywhere.
     engine: str = "auto"
     dtype: str = "float32"
 
@@ -69,6 +77,8 @@ class Stam2DConfig(BaseConfig):
         self._require(self.eta_max > self.eta_min, "eta range must be nonempty")
         self._require(1 <= self.advect_band <= 128,
                       "advect_band must be in [1, 128]")
+        self._require(self.advect_fix_cells >= 1,
+                      "advect_fix_cells must be >= 1")
         self._require(self.engine in ("auto", "hybrid", "pallas", "xla"),
                       "engine must be auto, hybrid, pallas or xla")
 
@@ -149,11 +159,13 @@ def _lin_solve(cfg, x, x0, a, c):
     return lax.fori_loop(0, cfg.jacobi_iters, body, x)
 
 
-def _advect(cfg, q0, uu, vv):
-    """Semi-Lagrangian back-trace in η-space (k_adv, js_cuda.cu:82-103)."""
+def _backtrace_coords(cfg, uu, vv):
+    """Exact semi-Lagrangian back-trace coordinates in η-space (k_adv,
+    js_cuda.cu:82-103): padded-space corner indices (i0, j0) in [0, n]
+    and fractional weights (s1, t1)."""
     n = cfg.n
     deta = (cfg.eta_max - cfg.eta_min) / n
-    idx = jnp.arange(1, n + 1, dtype=q0.dtype)
+    idx = jnp.arange(1, n + 1, dtype=uu.dtype)
     eta_x = cfg.eta_min + (idx - 0.5) * deta   # per column
     eta_y = eta_x                               # same metric per row
     xp = cfg.x0 * jnp.exp(eta_x)[None, :]
@@ -170,17 +182,56 @@ def _advect(cfg, q0, uu, vv):
     j0 = jnp.floor(tarr).astype(jnp.int32)
     s1 = sarr - i0
     t1 = tarr - j0
-    s0 = 1.0 - s1
-    t0 = 1.0 - t1
+    return i0, j0, s1, t1
 
+
+def _bilinear(qp, i0, j0, s1, t1):
+    """Exact 4-corner fetch + blend on the ring-padded array (any index
+    shape; the association matches k_adv)."""
     from ..ops.gather import gather2d
 
-    qp = jnp.pad(q0, 1)  # (n+2, n+2); ring = 0, index space matches IX
+    s0 = 1.0 - s1
+    t0 = 1.0 - t1
     q00 = gather2d(qp, j0, i0)
     q01 = gather2d(qp, j0 + 1, i0)
     q10 = gather2d(qp, j0, i0 + 1)
     q11 = gather2d(qp, j0 + 1, i0 + 1)
     return s0 * (t0 * q00 + t1 * q01) + s1 * (t0 * q10 + t1 * q11)
+
+
+def _advect(cfg, q0, uu, vv):
+    """Semi-Lagrangian back-trace in η-space (k_adv, js_cuda.cu:82-103)."""
+    i0, j0, s1, t1 = _backtrace_coords(cfg, uu, vv)
+    qp = jnp.pad(q0, 1)  # (n+2, n+2); ring = 0, index space matches IX
+    return _bilinear(qp, i0, j0, s1, t1)
+
+
+def _repair_overflow(cfg, qs_banded, qs_src, uu, vv):
+    """Sparse exact repair for the banded kernel: pick the
+    advect_fix_cells worst row-displacement cells (a superset of every
+    clamped cell whenever the count fits the budget) and overwrite them
+    with the exact per-cell bilinear gather.  Returns (repaired_fields,
+    clamped_count) — the caller lax.conds to the full exact gather when
+    clamped_count exceeds the budget.  Cost: one top_k over n^2 keys +
+    M-element gathers/scatter, independent of how far the backtraces
+    reach."""
+    n = cfg.n
+    M = min(cfg.advect_fix_cells, n * n)
+    i0, j0, s1, t1 = _backtrace_coords(cfg, uu, vv)
+    row = jnp.arange(n, dtype=jnp.int32)[:, None]
+    key = jnp.abs(j0 - 1 - row)              # kernel's disp convention
+    count = jnp.sum(key > cfg.advect_band)
+    _, flat = lax.top_k(key.reshape(-1), M)
+
+    def take(a):
+        return a.reshape(-1)[flat]
+
+    i0m, j0m, s1m, t1m = take(i0), take(j0), take(s1), take(t1)
+    out = []
+    for qb, q0 in zip(qs_banded, qs_src):
+        val = _bilinear(jnp.pad(q0, 1), i0m, j0m, s1m, t1m)
+        out.append(qb.reshape(-1).at[flat].set(val).reshape(n, n))
+    return tuple(out), count
 
 
 def _project(cfg, uu, vv, dx_w, dy_w, lin_solve=None):
@@ -249,10 +300,11 @@ def resolve_engine(cfg: Stam2DConfig) -> str:
     return "hybrid" if (eligible and jax.default_backend() == "tpu") else "xla"
 
 
-def _row_overflow_any(cfg: Stam2DConfig, vv):
+def _row_overflow_any(cfg: Stam2DConfig, vv, band: int | None = None):
     """True when any backtrace row displacement for velocity field `vv`
-    exceeds advect_band — i.e. the banded kernel would clamp this frame
-    (same displacement convention as kernels/stam2d_pallas.py)."""
+    exceeds `band` (default advect_band) — i.e. a kernel with that band
+    would clamp this frame (same displacement convention as
+    kernels/stam2d_pallas.py)."""
     n = cfg.n
     deta = (cfg.eta_max - cfg.eta_min) / n
     idx = jnp.arange(1, n + 1, dtype=vv.dtype)
@@ -261,7 +313,8 @@ def _row_overflow_any(cfg: Stam2DConfig, vv):
     by = eta[:, None] - cfg.dt * vv / yp
     tarr = jnp.clip((by - cfg.eta_min) / deta + 0.5, 0.5, n + 0.5)
     disp = jnp.floor(tarr) - idx[:, None]
-    return jnp.any(jnp.abs(disp) > cfg.advect_band)
+    return jnp.any(jnp.abs(disp) > (cfg.advect_band if band is None
+                                    else band))
 
 
 def advect_overflow_count(cfg: Stam2DConfig, s: Stam2DState):
@@ -306,22 +359,28 @@ def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
         frame_ovf = [jnp.asarray(0, jnp.int32)]
 
         if engine == "hybrid":
-            # exact-by-default: lax.cond to the exact gather whenever the
-            # band would clamp (the banded path never runs clamped, so
-            # state.ovf stays 0 and the result is exact on every frame)
+            # never-clamped: banded kernel + sparse exact repair of every
+            # out-of-band cell; full exact gather only when the clamped
+            # count exceeds the repair budget (the seed transient).  No
+            # tier leaves a clamped cell behind, so state.ovf stays 0.
             def advect(q0, uu, vv):
+                (qb,), count = _repair_overflow(
+                    cfg, (adv(q0, uu, vv)[0],), (q0,), uu, vv)
                 return lax.cond(
-                    _row_overflow_any(cfg, vv),
+                    count <= cfg.advect_fix_cells,
+                    lambda q, u, v: qb,
                     lambda q, u, v: _advect(cfg, q, u, v),
-                    lambda q, u, v: adv(q, u, v)[0],
                     q0, uu, vv)
 
             def advect_pair(qa, qb, uu, vv):
+                ra, rb, _ = adv2(qa, qb, uu, vv)
+                (ra, rb), count = _repair_overflow(
+                    cfg, (ra, rb), (qa, qb), uu, vv)
                 return lax.cond(
-                    _row_overflow_any(cfg, vv),
+                    count <= cfg.advect_fix_cells,
+                    lambda a, b, u, v: (ra, rb),
                     lambda a, b, u, v: (_advect(cfg, a, u, v),
                                         _advect(cfg, b, u, v)),
-                    lambda a, b, u, v: adv2(a, b, u, v)[:2],
                     qa, qb, uu, vv)
         else:
             def advect(q0, uu, vv):
