@@ -44,7 +44,7 @@ import numpy as np
 from ..core.clock import dtau_feedback
 from ..core.config import BaseConfig
 from ..ops.limiters import minmod
-from ..ops.weno import weno5_left, weno5_right
+from ..ops.weno import weno5_lr_slab
 
 __all__ = [
     "Hypersonic3DConfig",
@@ -311,6 +311,37 @@ def hllc_flux(cfg, L: PrimT, R: PrimT, axis: int) -> ConsT:
     )
 
 
+def hllc_wall_flux(cfg, q: PrimT, axis: int, left: bool = True) -> ConsT:
+    """hllc_flux(q, mirror(q)) if `left` else hllc_flux(mirror(q), q),
+    specialized for the symmetric wall pair (the per-side mirrored
+    Riemann problems of :1128-1131, 1148-1151).  For R = mirror(L):
+    the Roe-free wave estimates collapse to sL = -(|un|+a), sR = +(|un|+a)
+    (so the entropy fix is the identity — |s| >= a > 0.1*a always), the
+    contact speed sM is EXACTLY zero (the numerator's two terms cancel
+    bitwise), the shock sensor is exactly zero (dp = dr = 0, so the HLL
+    blend vanishes), and the interface flux is the L-side star flux.
+    One soundspeed/cons/flux evaluation instead of two plus no FHLL —
+    ~1/3 the arithmetic of the generic path, bitwise-equal to it up to
+    +-0 edge cases (tested)."""
+    L = q if left else _mirror(q, axis)
+    a = soundspeed(cfg, L)
+    unL = (L.u, L.v, L.w)[axis]
+    s = jnp.abs(unL) + a
+    sL = -s
+    UL = prim_to_cons(cfg, L)
+    FL = axis_flux(cfg, L, axis)
+    # (pStar enters the generic EStar only as pStar * sM == +-0: dropped)
+    d = _signed_denom(sL)
+    rStar = L.r * (sL - unL) / d
+    EStar = ((sL - unL) * UL.Et - L.p * unL) / d
+    EvStar = UL.Ev * (sL - unL) / d
+    mom = [rStar * L.u, rStar * L.v, rStar * L.w]
+    mom[axis] = jnp.zeros_like(rStar)     # rStar * sM with sM == 0
+    UStar = ConsT(r=rStar, mx=mom[0], my=mom[1], mz=mom[2],
+                  Et=EStar, Ev=EvStar)
+    return _cmap(lambda f, us, u: f + sL * (us - u), FL, UStar, UL)
+
+
 # --------------------------- state / geometry ------------------------------
 
 
@@ -554,21 +585,22 @@ def _face_prims(cfg, qp: PrimT, solid_pad, axis: int):
         # value of padded cell (face_index + H - 1 + off) => slice start
         return PrimT(*(_sl(f, arr_ax, HALO - 1 + off, 1) for f in qp))
 
-    q_m2 = shifted(-2)
-    q_m1 = shifted(-1)
     q_0 = shifted(0)     # left cell of the face
     q_p1 = shifted(1)    # right cell of the face
-    q_p2 = shifted(2)
-    q_p3 = shifted(3)
 
-    L = PrimT(*(
-        weno5_left(a, b, c, d, e)
-        for a, b, c, d, e in zip(q_m2, q_m1, q_0, q_p1, q_p2)
-    ))
-    R = PrimT(*(
-        weno5_right(a, b, c, d, e)
-        for a, b, c, d, e in zip(q_m1, q_0, q_p1, q_p2, q_p3)
-    ))
+    # both reconstructions in one pass with the smoothness indicators,
+    # their reciprocal squares, and two of three candidate polynomials
+    # shared across faces AND sides (ops/weno.weno5_lr_slab) — measured
+    # on hardware this is where the WENO sweep's arithmetic headroom was
+    # (see BASELINE.md hyp3d A/B)
+    def crop_other(f):
+        sl = [slice(HALO, f.shape[d] - HALO) for d in range(3)]
+        sl[arr_ax] = slice(None)
+        return f[tuple(sl)]
+
+    lr = [weno5_lr_slab(crop_other(f), arr_ax, HALO) for f in qp]
+    L = PrimT(*(x[0] for x in lr))
+    R = PrimT(*(x[1] for x in lr))
 
     def floor_prim(q):
         return PrimT(
@@ -625,8 +657,10 @@ def step_core_padded(cfg: Hypersonic3DConfig, qp: PrimT, solid_pad,
         sr = _sl(solid_pad, arr_ax, HALO, 1)
         face_solid = sl | sr
 
-        F_from_left = hllc_flux(cfg, qface_l, _mirror(qface_l, axis), axis)
-        F_from_right = hllc_flux(cfg, _mirror(qface_r, axis), qface_r, axis)
+        # specialized symmetric-pair HLLC: bitwise-equal to the generic
+        # hllc_flux on (q, mirror(q)) at ~1/3 the arithmetic (tested)
+        F_from_left = hllc_wall_flux(cfg, qface_l, axis, left=True)
+        F_from_right = hllc_wall_flux(cfg, qface_r, axis, left=False)
 
         fluxes.append((F, face_solid, F_from_left, F_from_right, arr_ax))
 

@@ -206,3 +206,60 @@ def test_matches_loop_oracle_f64():
     assert float(rel.max()) < 1e-10, f"max rel err {rel.max()}"
     np.testing.assert_allclose(float(s.t), orc.t, rtol=1e-10)
     np.testing.assert_allclose(float(s.dtau), orc.dtau, rtol=1e-10)
+
+
+def test_hllc_wall_flux_matches_generic_bitwise():
+    """The specialized symmetric-pair HLLC (hllc_wall_flux) must be
+    BITWISE equal to the generic hllc_flux on (q, mirror(q)) pairs for
+    both orientations and all three axes."""
+    import jax.numpy as jnp
+
+    cfg = h3.default_config(16)
+    rng = np.random.default_rng(1)
+    shape = (5, 6, 7)
+    q = h3.PrimT(
+        r=jnp.asarray(rng.uniform(0.01, 5, shape), jnp.float32),
+        u=jnp.asarray(rng.normal(0, 3, shape), jnp.float32),
+        v=jnp.asarray(rng.normal(0, 3, shape), jnp.float32),
+        w=jnp.asarray(rng.normal(0, 3, shape), jnp.float32),
+        p=jnp.asarray(rng.uniform(0.01, 10, shape), jnp.float32),
+        ev=jnp.asarray(rng.uniform(0, 2, shape), jnp.float32),
+    )
+    for axis in range(3):
+        pairs = (
+            (h3.hllc_flux(cfg, q, h3._mirror(q, axis), axis),
+             h3.hllc_wall_flux(cfg, q, axis, left=True)),
+            (h3.hllc_flux(cfg, h3._mirror(q, axis), q, axis),
+             h3.hllc_wall_flux(cfg, q, axis, left=False)),
+        )
+        for ref, got in pairs:
+            for f_ref, f_got in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(f_got),
+                                              np.asarray(f_ref))
+
+
+def test_weno5_lr_slab_matches_windowed():
+    """The shared-form WENO pair must track the windowed left/right
+    reconstructions to a few ulp on every axis."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluidsims_tpu.ops.weno import (weno5_left, weno5_lr_slab,
+                                        weno5_right)
+
+    rng = np.random.default_rng(0)
+    for shape, axis in (((30,), 0), ((4, 30), 1), ((30, 5, 6), 0)):
+        n = shape[axis] - 6
+        fp = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        L2, R2 = weno5_lr_slab(fp, axis)
+
+        def sl(off):
+            return jax.lax.slice_in_dim(fp, 2 + off, 2 + off + n + 1,
+                                        axis=axis)
+
+        L1 = weno5_left(sl(-2), sl(-1), sl(0), sl(1), sl(2))
+        R1 = weno5_right(sl(-1), sl(0), sl(1), sl(2), sl(3))
+        np.testing.assert_allclose(np.asarray(L2), np.asarray(L1),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(R2), np.asarray(R1),
+                                   rtol=0, atol=1e-6)
