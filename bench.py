@@ -21,21 +21,27 @@ import os
 import sys
 import time
 
-# round-2 values (BASELINE.md): the baseline for round-3 comparisons
+# round-3 values (BENCH_r03.json / BASELINE.md): the baseline for
+# round-4 comparisons
 PRIOR = {
-    "hypersonic2d_2048x2048_steps_per_sec": 207.0,
-    "gray_scott_2048x2048_steps_per_sec": 4714.0,
-    "burgers_512x512_steps_per_sec": 22648.0,
-    "shallow_water_512x512_steps_per_sec": 26771.0,
-    "mhd_320x220_steps_per_sec": 13013.0,
-    "lbm_2048x1024_mlups": 2607.0,
-    "sph_65536_mpsps": 10.6,
-    "flip_65536_mpsps": 9.0,
-    "mpm_32768_mpsps": 10.6,
-    "hypersonic3d_64_steps_per_sec": 565.7,
-    "stam2d_512x512_steps_per_sec": 32.0,
+    "hypersonic2d_2048x2048_steps_per_sec": 212.4,
+    "gray_scott_2048x2048_steps_per_sec": 10732.9,
+    "burgers_512x512_steps_per_sec": 42612.1,
+    "shallow_water_512x512_steps_per_sec": 40104.2,
+    "mhd_320x220_steps_per_sec": 30325.2,
+    "lbm_2048x1024_mlups": 9116.0,
+    "sph_65536_mpsps": 10.78,
+    "flip_65536_mpsps": 10.31,
+    "mpm_32768_mpsps": 10.91,
+    "hypersonic3d_64_steps_per_sec": 580.8,
+    "stam2d_512x512_steps_per_sec": 720.3,
+    # the hybrid (never-clamps) engine is new in round 4: its prior is
+    # the round-2 exact-XLA path it semantically replaces
+    "stam2d_512x512_exact_steps_per_sec": 32.0,
+    # round 3's stam3d sweep crashed (the _pick_jacobi_band regression);
+    # prior = the round-2 measurement
     "stam3d_192_steps_per_sec": 29.7,
-    "nbody_131072_exact_steps_per_sec": 8.3,
+    "nbody_131072_exact_steps_per_sec": 8.38,
     }
 
 
@@ -239,9 +245,19 @@ def _sweep(jax):
         return "hypersonic3d_64_steps_per_sec", r, "steps/sec"
 
     def stam2d_b():
-        cfg = s2.Stam2DConfig()   # engine auto -> pallas kernels on TPU
+        # the banded engine (the round-3 metric's semantics: clamps +
+        # counts backtraces beyond the band)
+        cfg = s2.Stam2DConfig(engine="pallas")
         r = _chunked(jax, lambda s: s2.step(cfg, s), s2.init(cfg), 400, 100)
         return "stam2d_512x512_steps_per_sec", r, "steps/sec"
+
+    def stam2d_exact_b():
+        # the hybrid never-clamps engine (the TPU auto default): banded
+        # kernel + sparse exact repair, full exact gather on frames whose
+        # clamped count exceeds the repair budget
+        cfg = s2.Stam2DConfig(engine="hybrid")
+        r = _chunked(jax, lambda s: s2.step(cfg, s), s2.init(cfg), 400, 100)
+        return "stam2d_512x512_exact_steps_per_sec", r, "steps/sec"
 
     def stam3d_b():
         cfg = s3.Stam3DConfig()  # engine auto -> pallas on TPU, advect_k=2
@@ -256,7 +272,8 @@ def _sweep(jax):
         return "nbody_131072_exact_steps_per_sec", r, "steps/sec"
 
     return [gray_scott, burgers, shallow_water, mhd_b, lbm_b, sph_b,
-            flip_b, mpm_b, hyp3d, stam2d_b, stam3d_b, nbody_b]
+            flip_b, mpm_b, hyp3d, stam2d_b, stam2d_exact_b, stam3d_b,
+            nbody_b]
 
 
 def _load_prior():
