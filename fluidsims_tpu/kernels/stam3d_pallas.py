@@ -17,10 +17,16 @@ advection materializes every shifted volume in HBM — together ~0.2 s per
 
 * `make_advect_pallas` — the dense-shift trilinear advection
   (_advect_dense) factored per axis: per output slice, the inner z-sum
-  runs over (2K+2) window slices, then the (oy, ox) in-plane shifts are
-  weighted 2-D ops — (2K+2)^2*(2K+4) MACs per cell, all in VMEM, exact
+  runs over (2K+1) window slices, then the (oy, ox) in-plane shifts are
+  weighted 2-D ops — ~(2K+1)^2*(2K+3) MACs per cell, all in VMEM, exact
   for backtrace displacements <= K cells (use
   solvers.stam3d.advect_capped_count to check a run stayed uncapped).
+  Offsets run -K..K only: with the displacement clipped to [-K, K] the
+  hat weight of offset K+1 is identically zero (exactly 0 at the d == K
+  cap), so the (2K+2)-wide form round 2 shipped carried a dead
+  zero-weight slab per axis — removing it cuts the z-inner MAC count
+  (2K+2)^3 -> (2K+1)^3 (216 -> 125 shifted-volume MACs at K=2) with
+  bitwise-identical output.
 
 * `make_set_bnd_pallas` — all four fields' reflective ghost faces in one
   read+write pass (the .at[].set form copies the full volume per face).
@@ -179,11 +185,11 @@ def make_advect_pallas(cfg, interpret: bool = False):
     if K < 1:
         raise ValueError("pallas advection requires advect_k >= 1")
     B = _AB
-    if 3 * B < B + 2 * K + 1:
+    if 3 * B < B + 2 * K:
         raise ValueError(f"advect_k={K} too large for band {B}")
     Np = n + 2
     Nqz = Np + 2 * K       # z gets a symmetric K edge-pad
-    Nq = Np + 2 * K + 1    # x/y get (K, K+1) so the oy=K+1 slice stays in
+    Nq = Np + 2 * K        # x/y get a symmetric K edge-pad (offsets -K..K)
     nb = -(-Np // B)
     # window blocks j..j+2 of the z-padded volume start at qp z = j*B, so
     # the source slice for local row l at offset oz is l + K + oz
@@ -213,7 +219,7 @@ def make_advect_pallas(cfg, interpret: bool = False):
 
     def advect(q0, u, v, w):
         qp = jnp.pad(q0, ((K, K + (nb + 2) * B - Nqz),
-                          (K, K + 1), (K, K + 1)), mode="edge")
+                          (K, K), (K, K)), mode="edge")
         return call(qp, qp, qp, q0, u, v, w)
 
     return advect
@@ -230,7 +236,7 @@ def _advect_kernel(cfg, K, B, Np, *refs):
     out = refs[7]
     n = cfg.n
     dt_ = cfg.dt
-    offs = list(range(-K, K + 2))
+    offs = list(range(-K, K + 1))
     pid = pl.program_id(0)
 
     dtype = qwin.dtype

@@ -15,7 +15,7 @@ transpose the ring-parity logic of the single-chip Pallas kernels
   halo slices.  Bit-identical to solvers.stam3d._lin_solve (even iters).
 
 * `_advect_sharded` — the dense-shift trilinear advection
-  (solvers.stam3d._advect_dense) on a z-window of K+1 halo slices,
+  (solvers.stam3d._advect_dense) on a z-window of K halo slices,
   identical loop order and weights; z-backtraces are clipped to the
   global domain by the same [0.5, n+0.5] clamp, so all weight-carrying
   reads stay inside the exchanged window.
@@ -113,15 +113,17 @@ def _lin_solve_sharded(x, x0, a, c, iters: int, halo_k: int, Np: int,
 def _advect_sharded(cfg, q0, u, v, w, Np: int, z_off, axis: str,
                     n_dev: int):
     """Dense-shift trilinear advection (solvers.stam3d._advect_dense) on a
-    z-slab: identical weights and summation order, z-window of K+1 halo
-    slices.  Ring and padded slices pass q0 through unchanged."""
+    z-slab: identical weights and summation order, z-window of K halo
+    slices (offsets -K..K; the K+1 offset's hat weight is identically
+    zero under the [-K, K] clip).  Ring and padded slices pass q0
+    through unchanged."""
     n = cfg.n
     K = cfg.advect_k
     dt_ = cfg.dt
     B = q0.shape[0]
     dtype = q0.dtype
 
-    qe = _exchange_z(q0, K + 1, axis, n_dev)          # (B + 2K + 2, Np, Np)
+    qe = _exchange_z(q0, K, axis, n_dev)              # (B + 2K, Np, Np)
     qp = jnp.pad(qe, ((0, 0), (K, K), (K, K)), mode="edge")
 
     idx = jnp.arange(1, n + 1, dtype=dtype)
@@ -145,7 +147,7 @@ def _advect_sharded(cfg, q0, u, v, w, Np: int, z_off, axis: str,
     def hat(pos, base, o):
         return jnp.maximum(0.0, 1.0 - jnp.abs(pos - (base + o)))
 
-    offs = list(range(-K, K + 2))
+    offs = list(range(-K, K + 1))
     wx = [hat(x, I, o) for o in offs]
     wy = [hat(y, J, o) for o in offs]
     wz = [hat(z, Kz, o) for o in offs]
@@ -156,8 +158,8 @@ def _advect_sharded(cfg, q0, u, v, w, Np: int, z_off, axis: str,
             wzy = wz[iz] * wy[iy]
             for ix, ox in enumerate(offs):
                 # local row l holds global z_off + l; source row at offset
-                # oz sits at window index l + (K+1) + oz
-                sl = qp[K + 1 + oz: K + 1 + oz + B,
+                # oz sits at window index l + K + oz
+                sl = qp[K + oz: K + oz + B,
                         1 + K + oy: 1 + K + oy + n,
                         1 + K + ox: 1 + K + ox + n]
                 acc = acc + (wzy * wx[ix]) * sl
