@@ -32,12 +32,13 @@ advection materializes every shifted volume in HBM — together ~0.2 s per
   read+write pass (the .at[].set form copies the full volume per face).
 
 Measured at 192^3 f32 on one v5e chip with the fixed band-4 config:
-24.4 steps/s (173 MLUPS) for the full frame step, vs 4.5 steps/s for the
-XLA dense path and 0.4 for the XLA exact-gather path in round 1.  (An
-earlier adaptive-band build measured 31.4 steps/s in round 2; the
-band-16 single-pass variant it picked at 192^3 was re-measured at 23.5
-steps/s in round 3 — see the negative-result note below — so the fixed
-band is what ships.)
+29.9 steps/s (212 MLUPS) for the full frame step after the zero-weight
+advection slab trim (24.4 before it), vs 4.5 steps/s for the XLA dense
+path and 0.4 for the XLA exact-gather path in round 1.  (An earlier
+adaptive-band build measured 31.4 steps/s in round 2; the band-16
+single-pass variant it picked at 192^3 was re-measured at 23.5 steps/s
+in round 3 — see the negative-result note below — so the fixed band is
+what ships.)
 """
 
 from __future__ import annotations

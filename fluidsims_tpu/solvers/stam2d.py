@@ -15,11 +15,14 @@ Behavioral spec: js_cuda.cu — 512² double-precision solver with:
 
 TPU design: fields are stored as interior (N, N) arrays; the zero ring is
 realized by jnp.pad at use sites.  The Jacobi loop is a lax.fori_loop; the
-bilinear back-trace has two engines (resolve_engine): 'xla' uses flattened
-1-D gathers (ops/gather.py, exact) and 'pallas' the banded VMEM advection
-kernel (kernels/stam2d_pallas.py, ~12x, clamps + counts backtraces beyond
-advect_band rows).  Everything under one jit.  Default dtype float32 (the
-reference is f64; dtype="float64" matches it exactly under x64).
+bilinear back-trace has three engines (resolve_engine): 'xla' uses
+flattened 1-D gathers (ops/gather.py, exact), 'pallas' the banded VMEM
+advection kernel (kernels/stam2d_pallas.py, ~22x, clamps + counts
+backtraces beyond advect_band rows), and 'hybrid' (the TPU default) the
+banded kernel plus a dynamic exact-gather window over the out-of-band
+cluster (_repair_overflow) — never clamps, ~17x.  Everything under one
+jit.  Default dtype float32 (the reference is f64; dtype="float64"
+matches it exactly under x64).
 """
 
 from __future__ import annotations
@@ -53,21 +56,26 @@ class Stam2DConfig(BaseConfig):
     # than this are clamped to the band edge and counted
     # (advect_overflow_count) — the kernels/stam2d_pallas.py contract
     advect_band: int = 16
-    # hybrid sparse-fix budget: measured on the reference default, the
-    # orbiting source drives 25-70 cells/frame past band 16 FOREVER (not
-    # just the seed transient, whose first ~50 frames clamp ~72k
-    # cells/frame) — so "switch engines once the transient settles" never
-    # fires.  Instead the hybrid runs the banded kernel and repairs up to
-    # this many worst-displacement cells per advection with exact
-    # per-cell gathers (top_k + M-element gather/scatter, microseconds);
-    # frames with more clamped cells than the budget fall back to the
-    # full exact gather.
-    advect_fix_cells: int = 4096
+    # hybrid repair-window side length in cells: measured on the
+    # reference default, the orbiting source drives 25-70 cells/frame
+    # past band 16 FOREVER (not just the seed transient, whose first
+    # ~50 frames clamp ~72k cells/frame) — so "switch engines once the
+    # transient settles" never fires.  The out-of-band cells cluster
+    # around the source (within +-21 rows / +-16 cols of its center,
+    # measured over 300 steps), so the hybrid overwrites one
+    # dynamically-placed window of this size with the exact gather each
+    # advection; frames whose out-of-band bounding box exceeds the
+    # window fall back to the full exact gather.  64 covers the
+    # reference default with ~1.5x margin; gather cost scales with the
+    # window area (~140 M gathered elem/s in-context on v5e), so keep
+    # it as small as the flow allows.
+    repair_window: int = 64
     # auto | hybrid | pallas | xla.  'hybrid' (the TPU default) never
-    # clamps: the banded VMEM kernel + sparse exact repair of every
-    # out-of-band cell when they fit the budget, the exact XLA gather
-    # otherwise (the seed transient).  'pallas' forces the banded kernel
-    # alone (clamps + counts), 'xla' forces the exact gather everywhere.
+    # clamps: the banded VMEM kernel + a window exact repair over the
+    # out-of-band cluster when its bounding box fits repair_window, the
+    # full exact XLA gather otherwise (the seed transient).  'pallas'
+    # forces the banded kernel alone (clamps + counts), 'xla' the exact
+    # gather everywhere.
     engine: str = "auto"
     dtype: str = "float32"
 
@@ -77,8 +85,8 @@ class Stam2DConfig(BaseConfig):
         self._require(self.eta_max > self.eta_min, "eta range must be nonempty")
         self._require(1 <= self.advect_band <= 128,
                       "advect_band must be in [1, 128]")
-        self._require(self.advect_fix_cells >= 1,
-                      "advect_fix_cells must be >= 1")
+        self._require(self.repair_window >= 1,
+                      "repair_window must be >= 1")
         self._require(self.engine in ("auto", "hybrid", "pallas", "xla"),
                       "engine must be auto, hybrid, pallas or xla")
 
@@ -207,31 +215,55 @@ def _advect(cfg, q0, uu, vv):
 
 
 def _repair_overflow(cfg, qs_banded, qs_src, uu, vv):
-    """Sparse exact repair for the banded kernel: pick the
-    advect_fix_cells worst row-displacement cells (a superset of every
-    clamped cell whenever the count fits the budget) and overwrite them
-    with the exact per-cell bilinear gather.  Returns (repaired_fields,
-    clamped_count) — the caller lax.conds to the full exact gather when
-    clamped_count exceeds the budget.  Cost: one top_k over n^2 keys +
-    M-element gathers/scatter, independent of how far the backtraces
-    reach."""
+    """Window exact repair for the banded kernel: find the bounding box
+    of every cell whose backtrace row displacement exceeds the band
+    (only rows are banded — the kernel's column fetch is an exact
+    full-range lane gather), center a static-shape repair_window on it,
+    and overwrite the whole window with the exact bilinear gather.
+    Returns (repaired_fields, in_window) — the caller lax.conds to the
+    full exact gather when the box does not fit the window.
+
+    Why a dense window and not a sparse cell list: every sparse
+    selection was measured slower IN CONTEXT on v5e than its
+    microbenchmark suggests — lax.top_k lowers to two full 262k-element
+    sorts per step (~220 us each), jnp.flatnonzero's cumsum and a
+    hand-rolled prefix-sum compaction both stall the step worse than
+    the sort, and the M-element gathers/scatter with data-dependent
+    indices cost ~0.5 ms each once embedded in the step (vs ~20 us
+    standalone).  The window needs no selection at all: two reductions
+    for the box, dynamic_slice of the coord grids (static shapes), the
+    same exact gather the XLA engine uses but on window_sized arrays,
+    and one dynamic_update_slice — no sort, no scatter, no
+    data-dependent index vectors.  In-band window cells are overwritten
+    with their exact values too, which only moves them ~1e-5 (same
+    corners/weights as the kernel, different blend association)."""
     n = cfg.n
-    M = min(cfg.advect_fix_cells, n * n)
+    H = W = min(cfg.repair_window, n)
     i0, j0, s1, t1 = _backtrace_coords(cfg, uu, vv)
     row = jnp.arange(n, dtype=jnp.int32)[:, None]
-    key = jnp.abs(j0 - 1 - row)              # kernel's disp convention
-    count = jnp.sum(key > cfg.advect_band)
-    _, flat = lax.top_k(key.reshape(-1), M)
+    over = jnp.abs(j0 - 1 - row) > cfg.advect_band  # kernel's disp conv
+    ri = jnp.arange(n, dtype=jnp.int32)
+    over_r = jnp.any(over, axis=1)
+    over_c = jnp.any(over, axis=0)
+    rmin = jnp.min(jnp.where(over_r, ri, n))
+    rmax = jnp.max(jnp.where(over_r, ri, -1))
+    cmin = jnp.min(jnp.where(over_c, ri, n))
+    cmax = jnp.max(jnp.where(over_c, ri, -1))
+    r0 = jnp.clip((rmin + rmax + 1) // 2 - H // 2, 0, n - H)
+    c0 = jnp.clip((cmin + cmax + 1) // 2 - W // 2, 0, n - W)
+    # True also when no cell is out of band (empty box: rmin=n, rmax=-1)
+    # — the window then just rewrites exact values over in-band cells.
+    ok = (rmin >= r0) & (rmax < r0 + H) & (cmin >= c0) & (cmax < c0 + W)
 
-    def take(a):
-        return a.reshape(-1)[flat]
+    def sl(a):
+        return lax.dynamic_slice(a, (r0, c0), (H, W))
 
-    i0m, j0m, s1m, t1m = take(i0), take(j0), take(s1), take(t1)
+    i0w, j0w, s1w, t1w = sl(i0), sl(j0), sl(s1), sl(t1)
     out = []
     for qb, q0 in zip(qs_banded, qs_src):
-        val = _bilinear(jnp.pad(q0, 1), i0m, j0m, s1m, t1m)
-        out.append(qb.reshape(-1).at[flat].set(val).reshape(n, n))
-    return tuple(out), count
+        win = _bilinear(jnp.pad(q0, 1), i0w, j0w, s1w, t1w)
+        out.append(lax.dynamic_update_slice(qb, win, (r0, c0)))
+    return tuple(out), ok
 
 
 def _project(cfg, uu, vv, dx_w, dy_w, lin_solve=None):
@@ -359,25 +391,26 @@ def step(cfg: Stam2DConfig, s: Stam2DState) -> Stam2DState:
         frame_ovf = [jnp.asarray(0, jnp.int32)]
 
         if engine == "hybrid":
-            # never-clamped: banded kernel + sparse exact repair of every
-            # out-of-band cell; full exact gather only when the clamped
-            # count exceeds the repair budget (the seed transient).  No
-            # tier leaves a clamped cell behind, so state.ovf stays 0.
+            # never-clamped: banded kernel + window exact repair around
+            # the out-of-band cluster; full exact gather only when the
+            # cluster's bounding box exceeds the window (the seed
+            # transient).  No tier leaves a clamped cell behind, so
+            # state.ovf stays 0.
             def advect(q0, uu, vv):
-                (qb,), count = _repair_overflow(
+                (qb,), ok = _repair_overflow(
                     cfg, (adv(q0, uu, vv)[0],), (q0,), uu, vv)
                 return lax.cond(
-                    count <= cfg.advect_fix_cells,
+                    ok,
                     lambda q, u, v: qb,
                     lambda q, u, v: _advect(cfg, q, u, v),
                     q0, uu, vv)
 
             def advect_pair(qa, qb, uu, vv):
                 ra, rb, _ = adv2(qa, qb, uu, vv)
-                (ra, rb), count = _repair_overflow(
+                (ra, rb), ok = _repair_overflow(
                     cfg, (ra, rb), (qa, qb), uu, vv)
                 return lax.cond(
-                    count <= cfg.advect_fix_cells,
+                    ok,
                     lambda a, b, u, v: (ra, rb),
                     lambda a, b, u, v: (_advect(cfg, a, u, v),
                                         _advect(cfg, b, u, v)),

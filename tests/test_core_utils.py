@@ -225,3 +225,21 @@ def test_cli_smoke(capsys):
           "1e-3", "--steps", "20", "--headless"])
     out = capsys.readouterr().out
     assert "cole-hopf rel L2 error" in out
+
+
+def test_compact_indices_matches_flatnonzero():
+    """The sort-free compaction must agree with jnp.flatnonzero in every
+    regime: empty mask, count < m, count == m, count > m (first-m kept)."""
+    import jax
+
+    from fluidsims_tpu.ops.compact import compact_indices
+
+    rng = np.random.default_rng(3)
+    f = jax.jit(compact_indices, static_argnums=(1, 2))
+    for density, m in [(0.0, 16), (0.01, 64), (0.05, 64), (0.5, 128),
+                       (1.0, 32)]:
+        mask = jnp.asarray(rng.random((48, 96)) < density)
+        want = jnp.flatnonzero(mask, size=m, fill_value=7)
+        got = f(mask, m, 7)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"density={density} m={m}")

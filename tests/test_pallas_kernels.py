@@ -296,34 +296,39 @@ def test_stam2d_hybrid_engine_exact_by_default():
                                    rtol=0, atol=1e-4, err_msg=f)
 
 
-def test_stam2d_hybrid_sparse_repair_is_exact():
-    """The sparse repair must overwrite EVERY out-of-band cell with the
-    exact per-cell gather (bitwise equal to the exact path there) while
-    leaving the banded kernel's in-band work in place."""
+def test_stam2d_hybrid_window_repair_is_exact():
+    """The window repair must overwrite EVERY out-of-band cell with the
+    exact per-cell gather (bitwise equal to the exact path there), keep
+    the rest within blend-association noise of exact, and report
+    in_window=False when the out-of-band bounding box exceeds the
+    window."""
     import jax
     import jax.numpy as jnp
 
     from fluidsims_tpu.kernels import stam2d_pallas as s2p
     from fluidsims_tpu.solvers import stam2d as st
 
-    cfg = st.Stam2DConfig(n=128, advect_band=4, engine="hybrid")
+    cfg = st.Stam2DConfig(n=128, advect_band=4, repair_window=64,
+                          engine="hybrid")
     rng = np.random.default_rng(9)
     q0 = jnp.asarray(rng.random((128, 128), dtype=np.float32))
     uu = jnp.asarray((rng.random((128, 128)) * 0.2 - 0.1).astype(np.float32))
-    # a hot stripe that overflows band 4 at a few hundred cells
+    # a hot stripe that overflows band 4 at a few hundred cells; the
+    # background noise is small enough to stay in band even at the
+    # smallest metric rows (disp ~ v / (yp * deta))
     vv = np.zeros((128, 128), np.float32)
     vv[60:70, 30:50] = 0.4
-    vv += (rng.random((128, 128)) * 0.05).astype(np.float32)
+    vv += (rng.random((128, 128)) * 0.01).astype(np.float32)
     vv = jnp.asarray(vv)
 
     banded = s2p.make_advect_pallas(cfg, interpret=True)
     qb, ovf = jax.jit(banded)(q0, uu, vv)
-    assert 0 < int(ovf) <= cfg.advect_fix_cells, int(ovf)
+    assert int(ovf) > 0
 
-    (fixed,), count = jax.jit(
-        lambda qb, q0, u, v: st._repair_overflow(cfg, (qb,), (q0,), u, v)
-    )(qb, q0, uu, vv)
-    assert int(count) == int(ovf)
+    repair = jax.jit(
+        lambda qb, q0, u, v: st._repair_overflow(cfg, (qb,), (q0,), u, v))
+    (fixed,), ok = repair(qb, q0, uu, vv)
+    assert bool(ok)
 
     exact = jax.jit(lambda q, u, v: st._advect(cfg, q, u, v))(q0, uu, vv)
 
@@ -332,10 +337,20 @@ def test_stam2d_hybrid_sparse_repair_is_exact():
     over = np.abs(np.asarray(j0) - 1 - np.arange(128)[:, None]) > 4
     np.testing.assert_array_equal(np.asarray(fixed)[over],
                                   np.asarray(exact)[over])
-    # in-band cells keep the banded kernel's values (same corners/weights,
-    # different blend association -> ~1e-5 noise)
+    # cells outside the window keep the banded kernel's values; window
+    # cells get exact ones (same corners/weights, different blend
+    # association -> ~1e-5 noise either way)
     np.testing.assert_allclose(np.asarray(fixed), np.asarray(exact),
                                rtol=0, atol=3e-5)
     # without the repair, the banded result is visibly clamped there
     assert np.abs(np.asarray(qb)[over] - np.asarray(exact)[over]).max() \
         > 1e-3
+
+    # a second cluster far away blows the bounding box past the window:
+    # the repair must report in_window=False (the step then lax.conds to
+    # the full exact gather)
+    vv2 = np.asarray(vv).copy()
+    vv2[5:10, 90:110] = 0.4
+    qb2, ovf2 = jax.jit(banded)(q0, uu, jnp.asarray(vv2))
+    (_,), ok2 = repair(qb2, q0, uu, jnp.asarray(vv2))
+    assert not bool(ok2)
