@@ -95,25 +95,41 @@ def _jacobi_kernel(a, c, it0, ip, Np, B, hw, *refs):
             | (gx == 0) | (gx == Np - 1))
 
     ring_vals = jnp.where(ring, cur, 0.0)
-    x0i = x0w[1:-1, 1:-1, 1:-1]
 
+    # Shrinking active window: after iteration tt, only rows within
+    # (ip - 1 - tt) slices of the output band [hw, hw + B) can still
+    # influence it (the stencil reaches 1 slice per iteration), so each
+    # iteration updates 2 fewer z-slices than the last — 40 -> 28
+    # interior slice-updates per band-4 pass, bitwise-identical output.
+    # `act` holds rows [base, base + act.shape[0]) of the window.
+    act = cur
+    base = 0
     for tt in range(ip):
+        reach = ip - 1 - tt
+        lo = hw - reach          # first row this iteration must update
+        hi = hw + B + reach      # exclusive
+        sub = act[lo - 1 - base:hi + 1 - base]
+        rsub = ring[lo - 1:hi + 1]
         # read-ghosts at global iteration it0+tt: x's originals when even,
         # the zeroed scratch buffer's when odd (lin_solve ping-pong)
         if (it0 + tt) % 2 == 0:
-            cur = jnp.where(ring, ring_vals, cur)
+            sub = jnp.where(rsub, ring_vals[lo - 1:hi + 1], sub)
         else:
-            cur = jnp.where(ring, 0.0, cur)
+            sub = jnp.where(rsub, 0.0, sub)
         s6 = (
-            cur[1:-1, 1:-1, :-2] + cur[1:-1, 1:-1, 2:]
-            + cur[1:-1, :-2, 1:-1] + cur[1:-1, 2:, 1:-1]
-            + cur[:-2, 1:-1, 1:-1] + cur[2:, 1:-1, 1:-1]
+            sub[1:-1, 1:-1, :-2] + sub[1:-1, 1:-1, 2:]
+            + sub[1:-1, :-2, 1:-1] + sub[1:-1, 2:, 1:-1]
+            + sub[:-2, 1:-1, 1:-1] + sub[2:, 1:-1, 1:-1]
         )
-        cur = jnp.pad((x0i + a * s6) / c, 1)
+        # pad-all-dims + z-slice instead of a ((0,0),(1,1),(1,1)) pad:
+        # Mosaic rejects the y/x-only pad here ("result/input offset
+        # mismatch on non-concat dimension") but lowers this form fine
+        act = jnp.pad((x0w[lo:hi, 1:-1, 1:-1] + a * s6) / c, 1)[1:-1]
+        base = lo
 
-    # an even total lands in the x buffer, whose ring is x's original
-    cur = jnp.where(ring, ring_vals, cur)
-    out[:] = cur[hw:hw + B]
+    # act is now exactly the output band; an even total lands in the x
+    # buffer, whose ring is x's original
+    out[:] = jnp.where(ring[hw:hw + B], ring_vals[hw:hw + B], act)
 
 
 def make_lin_solve_pallas(n: int, a: float, c: float, iters: int,
