@@ -66,7 +66,9 @@ _AB = 4     # advect band
 # window copies (6 in + 1 out ≈ 17 MB) exceed scoped VMEM, so Mosaic
 # spills exactly the traffic the deeper band was meant to save; band 4
 # (≈4.3 MB live) stays resident and the solve stays a minority of the
-# step next to the dense-shift advection.  Fixed band 4 stays.
+# step next to the dense-shift advection.  Fixed band 4 stays.  Re-tested
+# after the shrinking-window change with band 8 / ip 6 (2 passes, -33%
+# window traffic, ≈8.4 MB live): 31.0 vs 32.4 steps/s — still slower.
 
 
 def _jacobi_kernel(a, c, it0, ip, Np, B, hw, *refs):
