@@ -27,6 +27,7 @@ TPU-native equivalents:
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import NamedTuple
@@ -144,8 +145,14 @@ def init(cfg: GraphLayoutConfig) -> GraphLayoutState:
 
 
 def _spring_forces(cfg, pos, edges):
-    """Edge springs with segment-sum accumulation (worker_step,
-    number_fluid2d.c:493-511); the root (node 0) receives no spring force."""
+    """Edge springs with scatter-add accumulation (worker_step,
+    number_fluid2d.c:493-511); the root (node 0) receives no spring force.
+    Takes the edge array as data — the multi-chip runner
+    (parallel/nbody_sharded.py) calls this on its per-device edge shard
+    and psums.  The single-chip step uses _spring_forces_static instead:
+    the graph is static, so its sorted incidence can be baked in at trace
+    time and the two 17 ms scatter-adds per step (measured on v5e —
+    ~13 ns per scattered row) become one sorted segment_sum."""
     src = edges[:, 0]
     dst = edges[:, 1]
     d = pos[dst] - pos[src]
@@ -161,6 +168,42 @@ def _spring_forces(cfg, pos, edges):
     out = zero.at[src].add(f_src)
     out = out.at[dst].add(f_dst)
     return out
+
+
+@functools.lru_cache(maxsize=8)
+def _sorted_incidence(max_number: int):
+    """Static (target, other-endpoint) incidence of the prime/divisor
+    graph, root entries dropped (node 0 receives no spring force), sorted
+    by target node.  Computed once per max_number at trace time."""
+    e = generate_edges(max_number)
+    tgt = np.concatenate([e[:, 0], e[:, 1]])
+    oth = np.concatenate([e[:, 1], e[:, 0]])
+    keep = tgt != 0
+    tgt, oth = tgt[keep], oth[keep]
+    order = np.argsort(tgt, kind="stable")
+    return tgt[order], oth[order]
+
+
+def _spring_forces_static(cfg, pos):
+    """Single-chip spring forces over the statically-sorted incidence:
+    the spring formula is antisymmetric in the endpoints, so evaluating
+    it per (target, other) entry yields the correctly-signed contribution
+    for both directions of an edge, and one segment_sum with sorted ids
+    replaces _spring_forces' two unsorted scatter-adds (measured 8.05 ->
+    8.80 steps/s on the 131k-node exact bench; values match up to f32
+    reassociation of the per-node sum order)."""
+    import jax
+
+    tgt_np, oth_np = _sorted_incidence(cfg.max_number)
+    tgt = jnp.asarray(tgt_np)
+    oth = jnp.asarray(oth_np)
+    d = pos[oth] - pos[tgt]
+    d2 = jnp.sum(d * d, axis=-1) + cfg.softening
+    inv_d = 1.0 / jnp.sqrt(d2)
+    dist = d2 * inv_d
+    f = (cfg.spring_k * (dist - cfg.link_length) * inv_d)[:, None] * d
+    return jax.ops.segment_sum(f, tgt, num_segments=pos.shape[0],
+                               indices_are_sorted=True)
 
 
 def _repulsion_exact(cfg, pos, rows=None):
@@ -313,7 +356,7 @@ def step(cfg: GraphLayoutConfig, s: GraphLayoutState) -> GraphLayoutState:
 
     rep = (_repulsion_exact(cfg, pos) if cfg.engine == "exact"
            else _repulsion_grid(cfg, pos))
-    f = _spring_forces(cfg, pos, s.edges) + rep
+    f = _spring_forces_static(cfg, pos) + rep
 
     v = (vel + f * cfg.dt) * cfg.damping
     speed2 = jnp.sum(v * v, axis=-1, keepdims=True)
