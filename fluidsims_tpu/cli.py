@@ -665,11 +665,19 @@ def cmd_th3cs(args):
     # tau_hypersonic_3d_cuda.cu:1416-1497, re-homed to a host viewer)
     import pathlib
     import shutil
+    import signal
     import tempfile
     import time
 
     from .io.live4spl import serve_dir
 
+    # a supervisor's SIGTERM must exit the serve loop as cleanly as Ctrl-C
+    # (flush/copy the stream, shut the server down) — same discipline as
+    # the interactive raw-mode traps (core/interactive.py)
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    prev_term = signal.signal(signal.SIGTERM, _term)
     viewer = (pathlib.Path(__file__).resolve().parent.parent
               / "viewer" / "index.html")
     with tempfile.TemporaryDirectory(prefix="fst_live_") as tmp:
@@ -689,9 +697,14 @@ def cmd_th3cs(args):
             while True:
                 time.sleep(1)
         except KeyboardInterrupt:
-            pass
+            # mid-stream interrupt: persist whatever frames completed so
+            # --out is never empty when the caller asked for an export
+            if not pathlib.Path(args.out).exists() and stream_path.exists():
+                shutil.copy(stream_path, args.out)
+                print(f"interrupted; wrote partial {args.out}", flush=True)
         finally:
             srv.shutdown()
+            signal.signal(signal.SIGTERM, prev_term)
 
 
 def cmd_mhd(args):

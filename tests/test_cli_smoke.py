@@ -101,3 +101,75 @@ def test_th3cs_export_smoke(tmp_path):
     import os
 
     assert os.path.getsize(out) > 32  # header + palette + frames
+
+
+def test_th3cs_serve_end_to_end(tmp_path):
+    """VERDICT r4 weak #6: the `th3cs --serve` subcommand end-to-end —
+    spawn it, poll the HTTP endpoint until the streamed volume.4spl
+    reports >= 2 complete frames (read_4spl_partial tolerates growth and
+    torn tails), SIGTERM it, and assert a clean exit plus a parseable
+    exported file."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+
+    from fluidsims_tpu.io.live4spl import read_4spl_partial
+
+    out = str(tmp_path / "served.4spl")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fluidsims_tpu.cli", "th3cs", "--n", "16",
+         "--frames", "3", "--steps-per-frame", "1", "--serve", "--port",
+         "0", "--out", out],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env)
+    lines = []
+
+    def _pump():
+        for line in proc.stdout:
+            lines.append(line)
+
+    threading.Thread(target=_pump, daemon=True).start()
+    try:
+        deadline = time.time() + 180.0
+        port = None
+        while time.time() < deadline and port is None:
+            for line in lines:
+                m = re.search(r"http://127\.0\.0\.1:(\d+)/", line)
+                if m:
+                    port = int(m.group(1))
+                    break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"serve exited early rc={proc.returncode}: "
+                    + "".join(lines))
+            time.sleep(0.1)
+        assert port is not None, "no live-viewer URL printed"
+
+        url = f"http://127.0.0.1:{port}/volume.4spl"
+        snap = tmp_path / "snap.4spl"
+        frames = 0
+        while time.time() < deadline and frames < 2:
+            try:
+                with urllib.request.urlopen(url, timeout=5) as r:
+                    snap.write_bytes(r.read())
+                frames = read_4spl_partial(snap).frames
+            except (urllib.error.URLError, ValueError, OSError):
+                pass  # not created yet / torn header — poll again
+            time.sleep(0.2)
+        assert frames >= 2, f"only {frames} frames streamed before timeout"
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=60)
+    assert rc == 0, f"SIGTERM exit {rc}: " + "".join(lines)
+
+    vid = read_4spl_partial(out)  # exported (possibly partial) stream
+    assert vid.frames >= 2 and vid.indices.shape[1:] == (16, 16, 16)

@@ -43,10 +43,13 @@ SWEEPS = {
 }
 
 
-def _measure(solver: str, params: dict) -> float:
-    """Steps/sec of one engine config on the current backend (called in a
-    subprocess).  Mirrors bench.py's methodology: chained scans, one-element
-    device sync, best of 3 windows."""
+def _measure(solver: str, params: dict) -> list:
+    """Window steps/sec rates of one engine config on the current backend
+    (called in a subprocess).  Mirrors bench.py's methodology: chained
+    scans, one-element device sync, 5 timing windows (the shared chip's
+    contention makes single windows untrustworthy — the caller keeps the
+    max as the uncontended-rate estimate and the spread as the noise
+    band)."""
     sys.path.insert(0, ROOT)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
     import jax
@@ -62,7 +65,7 @@ def _measure(solver: str, params: dict) -> float:
         x = jax.tree_util.tree_leaves(tree)[0]
         np.asarray(x.ravel()[:1].block_until_ready())
 
-    def rate(fn, s0, n_calls, steps_per_call):
+    def rate(fn, s0, n_calls, steps_per_call, windows=5):
         s = fn(s0)
         sync(s)
         # size the window to >= 0.5 s: the ~10 ms tunnel dispatch+sync
@@ -73,14 +76,15 @@ def _measure(solver: str, params: dict) -> float:
         sync(s)
         per_call = max(time.perf_counter() - t0, 1e-5)
         n_calls = max(n_calls, int(0.5 / per_call) + 1)
-        best = 0.0
-        for _ in range(3):
+        rates = []
+        for _ in range(windows):
             st, t0 = s, time.perf_counter()
             for _ in range(n_calls):
                 st = fn(st)
             sync(st)
-            best = max(best, n_calls / (time.perf_counter() - t0))
-        return best * steps_per_call
+            rates.append(n_calls / (time.perf_counter() - t0)
+                         * steps_per_call)
+        return rates
 
     k = params.get("k")
     band = params.get("band")
@@ -161,8 +165,9 @@ def main(argv=None):
 
     if args.one:
         solver, params = _parse_one(args.one)
-        r = _measure(solver, params)
-        print(json.dumps({"steps_per_sec": r}))
+        rates = sorted(_measure(solver, params))
+        print(json.dumps({"steps_per_sec": max(rates),
+                          "windows": [round(r, 3) for r in rates]}))
         return 0
 
     solvers = args.solvers or list(SWEEPS)
