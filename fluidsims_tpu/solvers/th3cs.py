@@ -18,7 +18,7 @@ from ..io import fourspl
 from ..io.fourspl_native import write_4spl_best
 from . import hypersonic3d as h3
 
-__all__ = ["export_4spl", "export_4spl_streamed"]
+__all__ = ["export_4spl", "export_4spl_streamed", "stream_frames"]
 
 
 def _make_frame_fn(cfg, steps_per_frame: int, impl: str):
@@ -126,22 +126,32 @@ def export_4spl_streamed(
     state = h3.init(cfg)
     frame_fn = _make_frame_fn(cfg, steps_per_frame, impl)
 
-    window = 4
-    pending = []
     with Stream4splWriter(path, cfg.nx, cfg.ny, cfg.nz,
                           fourspl.heat_palette(p_size)) as wtr:
+        stream_frames(frame_fn, state, frames, wtr, verbose=verbose,
+                      on_frame=on_frame)
 
-        def collect(f, qf):
-            wtr.append(np.asarray(qf))
-            if verbose:
-                print(f"frame {f + 1}/{frames} streamed")
-            if on_frame is not None:
-                on_frame(f, frames)
 
-        for f in range(frames):
-            state, qf = frame_fn(state)
-            pending.append((f, qf))
-            if len(pending) >= window:
-                collect(*pending.pop(0))
-        for f, qf in pending:
-            collect(f, qf)
+def stream_frames(frame_fn, state, frames: int, wtr, verbose: bool = False,
+                  on_frame=None, window: int = 4):
+    """Drive `frame_fn(state) -> (state, uint8 volume)` for `frames`
+    frames, appending each to stream writer `wtr` (any solver's live
+    stream uses this).  A `window`-deep dispatch queue keeps device
+    compute and host transfers overlapped."""
+    pending = []
+
+    def collect(f, qf):
+        wtr.append(np.asarray(qf))
+        if verbose:
+            print(f"frame {f + 1}/{frames} streamed")
+        if on_frame is not None:
+            on_frame(f, frames)
+
+    for f in range(frames):
+        state, qf = frame_fn(state)
+        pending.append((f, qf))
+        if len(pending) >= window:
+            collect(*pending.pop(0))
+    for f, qf in pending:
+        collect(f, qf)
+    return state
