@@ -115,16 +115,26 @@ def _colgather(S, c, n):
     return jnp.concatenate(outs, axis=1)
 
 
-def _advect_kernel(*refs, dt, n, k_band, n_fields):
+def _advect_kernel(*refs, dt, n, k_band, n_fields, with_box):
     """Banded-row + exact-column advection for `n_fields` q-fields that
     share one (uu, vv) backtrace — the velocity step advects u0 and v0
     with the SAME coordinates (js_cuda.cu:176-177), so the index math
     and the per-offset corner weights are computed once and only the
-    column gathers run per field."""
+    column gathers run per field.
+
+    `with_box` additionally emits the bounding box of the out-of-band
+    cells as (1, 4) int32 [rmin, rmax, cmin, cmax] ([n, -1, n, -1] when
+    none overflow), so the hybrid engine's window repair
+    (solvers/stam2d._repair_overflow_from_box) needs no full-grid coord
+    recompute or reductions in XLA — the kernel already has the
+    displacement field in VMEM."""
     qpads = refs[:n_fields]
     uu_ref, vv_ref, eta_ref, xp_ref, yp_ref = refs[n_fields:n_fields + 5]
     outs = refs[n_fields + 5:n_fields + 5 + n_fields]
-    ovf_ref = refs[-1]
+    if with_box:
+        ovf_ref, box_ref = refs[-2], refs[-1]
+    else:
+        ovf_ref = refs[-1]
 
     eta = eta_ref[0, :]
     xp = xp_ref[0, :]
@@ -148,8 +158,16 @@ def _advect_kernel(*refs, dt, n, k_band, n_fields):
     row_id = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     disp = j0 - 1 - row_id                   # interior row offset, corner 1
     disp_c = jnp.clip(disp, -k_band, k_band)
-    ovf_ref[:, :] = jnp.sum((disp != disp_c).astype(jnp.int32),
-                            keepdims=True)
+    over = disp != disp_c
+    ovf_ref[:, :] = jnp.sum(over.astype(jnp.int32), keepdims=True)
+    if with_box:
+        col_id = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        box_ref[:, :] = jnp.stack([
+            jnp.min(jnp.where(over, row_id, n)),
+            jnp.max(jnp.where(over, row_id, -1)),
+            jnp.min(jnp.where(over, col_id, n)),
+            jnp.max(jnp.where(over, col_id, -1)),
+        ]).reshape(1, 4)
 
     def corner_pair(slabs, koff, accs):
         w = (jnp.where(disp_c == koff, t0, 0.0)
@@ -184,7 +202,7 @@ def _advect_kernel(*refs, dt, n, k_band, n_fields):
 
 
 def make_advect_pallas(cfg, interpret: bool = False, n_fields: int = 1,
-                       band: int | None = None):
+                       band: int | None = None, with_box: bool = False):
     """Build the banded advection call for cfg.
 
     n_fields=1: advect(q0, uu, vv) -> (q_new, overflow_count).
@@ -193,7 +211,9 @@ def make_advect_pallas(cfg, interpret: bool = False, n_fields: int = 1,
     self-advection pair).  Requires float32 and n % 128 == 0.
     `band` overrides cfg.advect_band (the hybrid engine's wide tier uses
     bands past the config field's 128 cap; the kernel itself takes any
-    band <= n)."""
+    band <= n).  `with_box` appends the (4,) int32 out-of-band bounding
+    box [rmin, rmax, cmin, cmax] to the returns (the hybrid repair's
+    input)."""
     n = cfg.n
     K = cfg.advect_band if band is None else band
     if n % _LANE:
@@ -206,11 +226,14 @@ def make_advect_pallas(cfg, interpret: bool = False, n_fields: int = 1,
     yp = (cfg.y0 * jnp.exp(eta)).reshape(1, n)
     n_kh = (2 * K + 2 + 7) // 8
 
+    out_shape = ([jax.ShapeDtypeStruct((n, n), dt_)] * n_fields
+                 + [jax.ShapeDtypeStruct((1, 1), jnp.int32)])
+    if with_box:
+        out_shape.append(jax.ShapeDtypeStruct((1, 4), jnp.int32))
     call = pl.pallas_call(
         functools.partial(_advect_kernel, dt=cfg.dt, n=n, k_band=K,
-                          n_fields=n_fields),
-        out_shape=([jax.ShapeDtypeStruct((n, n), dt_)] * n_fields
-                   + [jax.ShapeDtypeStruct((1, 1), jnp.int32)]),
+                          n_fields=n_fields, with_box=with_box),
+        out_shape=out_shape,
         # the 2-field variant needs ~115 MB of scoped VMEM at 512^2
         # (v5e has 128 MB); the default 100 MB cap rejects it
         compiler_params=pltpu.CompilerParams(
@@ -225,6 +248,9 @@ def make_advect_pallas(cfg, interpret: bool = False, n_fields: int = 1,
         # last aligned 8-row load stays in bounds
         qpads = [jnp.pad(q, ((K, 8 * n_kh - K), (0, 0))) for q in qs]
         out = call(*qpads, uu, vv, eta, xp, yp)
-        return (*out[:n_fields], out[n_fields][0, 0])
+        rets = (*out[:n_fields], out[n_fields][0, 0])
+        if with_box:
+            rets = (*rets, out[n_fields + 1][0])
+        return rets
 
     return advect

@@ -354,3 +354,61 @@ def test_stam2d_hybrid_window_repair_is_exact():
     qb2, ovf2 = jax.jit(banded)(q0, uu, jnp.asarray(vv2))
     (_,), ok2 = repair(qb2, q0, uu, jnp.asarray(vv2))
     assert not bool(ok2)
+
+
+def test_stam2d_repair_from_kernel_box_matches():
+    """The fused repair path (kernel-emitted out-of-band bounding box +
+    window coord recompute, round-5) must reproduce the reference repair
+    (_repair_overflow's full-grid recompute) bitwise: same box, same ok,
+    same repaired field."""
+    import jax
+    import jax.numpy as jnp
+
+    from fluidsims_tpu.kernels import stam2d_pallas as s2p
+    from fluidsims_tpu.solvers import stam2d as st
+
+    cfg = st.Stam2DConfig(n=128, advect_band=4, repair_window=64,
+                          engine="hybrid")
+    rng = np.random.default_rng(9)
+    q0 = jnp.asarray(rng.random((128, 128), dtype=np.float32))
+    uu = jnp.asarray((rng.random((128, 128)) * 0.2 - 0.1).astype(np.float32))
+    vv = np.zeros((128, 128), np.float32)
+    vv[60:70, 30:50] = 0.4
+    vv += (rng.random((128, 128)) * 0.01).astype(np.float32)
+    vv = jnp.asarray(vv)
+
+    adv = s2p.make_advect_pallas(cfg, interpret=True, with_box=True)
+    qk, ovf, box = jax.jit(adv)(q0, uu, vv)
+    assert int(ovf) > 0
+
+    # the kernel's box must equal the host-side overflow bounding box
+    i0, j0, s1, t1 = st._backtrace_coords(cfg, uu, vv)
+    over = np.abs(np.asarray(j0) - 1 - np.arange(128)[:, None]) > 4
+    rows, cols = np.nonzero(over)
+    np.testing.assert_array_equal(
+        np.asarray(box), [rows.min(), rows.max(), cols.min(), cols.max()])
+
+    new = jax.jit(lambda qk, q0, u, v, b: st._repair_overflow_from_box(
+        cfg, (qk,), (q0,), u, v, b))
+    old = jax.jit(lambda qk, q0, u, v: st._repair_overflow(
+        cfg, (qk,), (q0,), u, v))
+    (r_new,), ok_new = new(qk, q0, uu, vv, box)
+    (r_old,), ok_old = old(qk, q0, uu, vv)
+    assert bool(ok_new) == bool(ok_old) is True
+    np.testing.assert_array_equal(np.asarray(r_new), np.asarray(r_old))
+
+    # empty box (calm flow): ok=True and the window rewrite is benign
+    calm = jnp.zeros((128, 128), jnp.float32)
+    qk2, ovf2, box2 = jax.jit(adv)(q0, calm, calm)
+    assert int(ovf2) == 0 and int(box2[0]) == 128 and int(box2[1]) == -1
+    (r2,), ok2 = new(qk2, q0, calm, calm, box2)
+    assert bool(ok2)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(qk2),
+                               rtol=0, atol=3e-5)
+
+    # two distant clusters: box exceeds the window, ok=False both paths
+    vv2 = np.asarray(vv).copy()
+    vv2[5:10, 90:110] = 0.4
+    qk3, _, box3 = jax.jit(adv)(q0, uu, jnp.asarray(vv2))
+    (_,), ok3 = new(qk3, q0, uu, jnp.asarray(vv2), box3)
+    assert not bool(ok3)
