@@ -43,7 +43,7 @@ __all__ = ["make_step_pallas", "run_pallas"]
 N_FIELDS = 6  # r, u, v, w, p, ev (+ solid mask handled separately)
 
 
-def _band_kernel(cfg, typ, scal_ref, *refs):
+def _band_kernel(cfg, typ, solid_box, scal_ref, *refs):
     ins = refs[: 3 * (N_FIELDS + 1)]
     outs = refs[3 * (N_FIELDS + 1):]
     dt = scal_ref[0, 0]
@@ -61,7 +61,7 @@ def _band_kernel(cfg, typ, scal_ref, *refs):
     qp = PrimT(*fields[:N_FIELDS])
     sp = fields[N_FIELDS] > 0.5
 
-    q1 = h3.step_core_padded(cfg, qp, sp, dt, gain)
+    q1 = h3.step_core_padded(cfg, qp, sp, dt, gain, solid_box=solid_box)
     for o_ref, val in zip(outs, q1):
         o_ref[:] = val
 
@@ -123,8 +123,23 @@ def make_step_pallas(cfg: h3.Hypersonic3DConfig, band: int = 4,
         for _ in range(N_FIELDS)
     ]
 
+    # static wall-flux restriction: the geometry is config-derived, so the
+    # solid's x-extent is known at trace time.  The kernel's z band and y
+    # tile offsets are grid-dynamic, so only x is restricted (unbounded
+    # z/y entries are clamped to each window).  The extent is computed
+    # analytically (|x_center - sdf_cx| < sdf_r: at most one cell wider
+    # than the rasterized mask, never narrower) rather than from
+    # build_solid(cfg) — the sharded runner builds cores on z-slab
+    # configs whose local z range says nothing about the slab's true
+    # global z, so the mask's z/y content cannot be trusted here.
+    xc = (np.arange(-HALO, nx + HALO) + 0.5) * cfg.dx
+    hit = np.nonzero(np.abs(xc - cfg.sdf_cx) < cfg.sdf_r)[0]
+    kernel_box = (None if hit.size == 0
+                  else ((0, 1 << 30), (0, 1 << 30),
+                        (int(hit[0]), int(hit[-1]))))
+
     call = pl.pallas_call(
-        functools.partial(_band_kernel, cfg, Typ),
+        functools.partial(_band_kernel, cfg, Typ, kernel_box),
         grid=(n_bands, n_ytiles),
         in_specs=[scal_spec] + in_specs,
         out_specs=out_specs,

@@ -622,6 +622,61 @@ def _face_prims(cfg, qp: PrimT, solid_pad, axis: int):
     return L, R, q_0, q_p1
 
 
+def solid_box_from_mask(solid_pad) -> tuple | None:
+    """Static inclusive bounds ((zlo,zhi),(ylo,yhi),(xlo,xhi)) of the solid
+    in PADDED coordinates, from a concrete (numpy) halo-extended mask.
+    Returns None when no cell is solid.  Trace-time helper: the geometry
+    is config-derived and static, so the wall-mirror fluxes only need
+    computing on this box (everywhere else face_solid is false and the
+    flux select never reads them — restriction is bitwise-free)."""
+    import numpy as _np
+
+    m = _np.asarray(solid_pad)
+    if not m.any():
+        return None
+    out = []
+    for d in range(3):
+        ax = tuple(i for i in range(3) if i != d)
+        hit = _np.nonzero(m.any(axis=ax))[0]
+        out.append((int(hit[0]), int(hit[-1])))
+    return tuple(out)
+
+
+def _boxed_wall_flux(cfg, qface: PrimT, spatial_axis: int, left: bool,
+                     solid_box) -> ConsT:
+    """hllc_wall_flux computed only on the static face sub-box that can
+    touch a solid cell (zeros elsewhere).  `solid_box` is
+    solid_box_from_mask output (padded coords); entries may extend past
+    the window (they are clamped), so a z-banded kernel window passes an
+    unbounded z range.  Downstream-identical to the dense call: wall
+    fluxes are consumed through `where(face_solid, ...)` and face_solid
+    is false outside the box by construction."""
+    arr_ax = {0: 2, 1: 1, 2: 0}[spatial_axis]
+    shape = qface.r.shape
+    zeros = lambda: ConsT(*(jnp.zeros(shape, qface.r.dtype)  # noqa: E731
+                            for _ in range(6)))
+    if solid_box is None:
+        return zeros()
+    slices = []
+    for d in range(3):
+        lo, hi = solid_box[d]
+        if d == arr_ax:
+            # face k reads padded cells k+H-1 and k+H -> solid faces span
+            # k in [lo-H, hi-H+1]
+            a, b = lo - HALO, hi - HALO + 2
+        else:
+            # face arrays index interior cells (padded j+H)
+            a, b = lo - HALO, hi - HALO + 1
+        a, b = max(a, 0), min(b, shape[d])
+        if a >= b:
+            return zeros()
+        slices.append((a, b))
+    sub = PrimT(*(f[tuple(slice(a, b) for a, b in slices)] for f in qface))
+    Fs = hllc_wall_flux(cfg, sub, spatial_axis, left=left)
+    pad = tuple((slices[d][0], shape[d] - slices[d][1]) for d in range(3))
+    return ConsT(*(jnp.pad(f, pad) for f in Fs))
+
+
 def _mirror(q: PrimT, axis: int) -> PrimT:
     comps = {"u": q.u, "v": q.v, "w": q.w}
     key = ("u", "v", "w")[axis]
@@ -631,14 +686,22 @@ def _mirror(q: PrimT, axis: int) -> PrimT:
 
 
 def step_core_padded(cfg: Hypersonic3DConfig, qp: PrimT, solid_pad,
-                     dt, inflow_gain, x0: int = 0) -> PrimT:
+                     dt, inflow_gain, x0: int = 0,
+                     solid_box="dense") -> PrimT:
     """The full cell update on a halo-extended window of BC-resolved
     primitives: WENO faces -> HLLC with wall mirroring -> conservative
     update -> repair -> Landau-Teller -> sponges.  Window-agnostic along
     every axis (the z-banded Pallas kernel calls it on z-slices); `x0` is
     the global x index of the window's first interior column (the sponge
     ramps are functions of global x).  Shared by the XLA and Pallas
-    paths."""
+    paths.
+
+    `solid_box`: "dense" computes the wall-mirror fluxes at every face
+    (always correct); a solid_box_from_mask value (or None for no solid)
+    restricts them to the static sub-box that can touch the solid —
+    bitwise-identical output at ~1/3 the wall-flux arithmetic for the
+    default sphere (the flux select reads wall values only where
+    face_solid is true, which is inside the box by construction)."""
     dtype = qp.r.dtype
 
     q0_cell = PrimT(*(f[HALO:-HALO, HALO:-HALO, HALO:-HALO] for f in qp))
@@ -659,8 +722,14 @@ def step_core_padded(cfg: Hypersonic3DConfig, qp: PrimT, solid_pad,
 
         # specialized symmetric-pair HLLC: bitwise-equal to the generic
         # hllc_flux on (q, mirror(q)) at ~1/3 the arithmetic (tested)
-        F_from_left = hllc_wall_flux(cfg, qface_l, axis, left=True)
-        F_from_right = hllc_wall_flux(cfg, qface_r, axis, left=False)
+        if solid_box == "dense":
+            F_from_left = hllc_wall_flux(cfg, qface_l, axis, left=True)
+            F_from_right = hllc_wall_flux(cfg, qface_r, axis, left=False)
+        else:
+            F_from_left = _boxed_wall_flux(cfg, qface_l, axis, True,
+                                           solid_box)
+            F_from_right = _boxed_wall_flux(cfg, qface_r, axis, False,
+                                            solid_box)
 
         fluxes.append((F, face_solid, F_from_left, F_from_right, arr_ax))
 
@@ -772,8 +841,11 @@ def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
     nudging it does not recompile."""
     dtype = s.xi.dtype
     solid = s.solid
+    solid_box = "dense"  # traced masks (sharded slabs) stay dense
     if solid_pad is None:
-        solid_pad = jnp.asarray(build_solid(cfg, pad=HALO))
+        mask = build_solid(cfg, pad=HALO)
+        solid_box = solid_box_from_mask(mask)  # static geometry
+        solid_pad = jnp.asarray(mask)
 
     # τ advance (pre-step, :1680-1683)
     t = s.t * jnp.exp(s.dtau)
@@ -786,7 +858,8 @@ def step(cfg: Hypersonic3DConfig, s: Hypersonic3DState,
     qp = _padded_prims(cfg, q, solid_pad)
 
     if core is None:
-        q1 = step_core_padded(cfg, qp, solid_pad, dt, inflow_gain)
+        q1 = step_core_padded(cfg, qp, solid_pad, dt, inflow_gain,
+                              solid_box=solid_box)
     else:
         q1 = core(qp, solid_pad, dt, inflow_gain)
 
