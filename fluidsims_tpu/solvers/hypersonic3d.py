@@ -779,50 +779,78 @@ def step_core_padded(cfg: Hypersonic3DConfig, qp: PrimT, solid_pad,
     q1 = q1._replace(ev=jnp.maximum(q1.ev + (ev_eq - q1.ev) * relax, 0.0))
 
     # sponge layers (:1295-1344); iota-based so the same code lowers inside
-    # Pallas kernels (captured np constant arrays are rejected there)
-    # int iota + cast: Mosaic's tpu.iota only supports integer results
-    xs = jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, q1.r.shape[2]), 2).astype(dtype) + x0
+    # Pallas kernels (captured np constant arrays are rejected there).
+    # Each sponge transforms only its static x-column slab: inside the
+    # slab the math is the dense form on a slice (bitwise-equal); outside,
+    # the dense form was a provable identity (ramp k == 0.0 exactly and
+    # post-repair fields satisfy the floors), so skipping it changes
+    # nothing but the arithmetic (it no longer rewrites -0.0 velocity
+    # signs to +0.0, which no downstream consumer distinguishes).
+    def sponge_slab(q, g_lo, g_hi, fn):
+        """Apply fn(sub, col_lo) to window columns covering global x in
+        [g_lo, g_hi); col_lo is the slice's window-column offset."""
+        wx = q.r.shape[2]
+        col_lo, col_hi = max(g_lo - x0, 0), min(g_hi - x0, wx)
+        if col_lo >= col_hi:
+            return q
+        sub = PrimT(*(f[:, :, col_lo:col_hi] for f in q))
+        sub = fn(sub, col_lo)
+        return PrimT(*(jnp.concatenate(
+            [f[:, :, :col_lo], g, f[:, :, col_hi:]], axis=2)
+            for f, g in zip(q, sub)))
+
+    def xs_of(sub, col_lo):
+        # int iota + cast: Mosaic's tpu.iota only supports integer results
+        return jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, sub.r.shape[2]), 2).astype(dtype) \
+            + (x0 + col_lo)
+
+    tgtT = max(cfg.inflow_p, RHO_P_FLOOR) / (
+        max(cfg.inflow_r, RHO_P_FLOOR) * cfg.R
+    )
     if cfg.sponge_n > 0:
-        sramp = jnp.clip(1.0 - xs / cfg.sponge_n, 0.0, 1.0)
-        k_in = cfg.sponge_strength * sramp**2
-        tgt_u = inflow_gain * cfg.inflow_u
-        tgt_v = inflow_gain * cfg.inflow_v
-        tgt_w = inflow_gain * cfg.inflow_w
-        tgtT = max(cfg.inflow_p, RHO_P_FLOOR) / (
-            max(cfg.inflow_r, RHO_P_FLOOR) * cfg.R
-        )
-        tgt_ev = evib_eq_py(cfg, tgtT)
-        q1 = PrimT(
-            r=jnp.maximum(q1.r + k_in * (max(cfg.inflow_r, RHO_P_FLOOR) - q1.r),
-                          RHO_P_FLOOR),
-            u=q1.u + k_in * (tgt_u - q1.u),
-            v=q1.v + k_in * (tgt_v - q1.v),
-            w=q1.w + k_in * (tgt_w - q1.w),
-            p=jnp.maximum(q1.p + k_in * (max(cfg.inflow_p, RHO_P_FLOOR) - q1.p),
-                          RHO_P_FLOOR),
-            ev=jnp.maximum(q1.ev + k_in * (tgt_ev - q1.ev), 0.0),
-        )
+        def sponge_in(sub, col_lo):
+            sramp = jnp.clip(1.0 - xs_of(sub, col_lo) / cfg.sponge_n,
+                             0.0, 1.0)
+            k_in = cfg.sponge_strength * sramp**2
+            tgt_u = inflow_gain * cfg.inflow_u
+            tgt_v = inflow_gain * cfg.inflow_v
+            tgt_w = inflow_gain * cfg.inflow_w
+            tgt_ev = evib_eq_py(cfg, tgtT)
+            return PrimT(
+                r=jnp.maximum(
+                    sub.r + k_in * (max(cfg.inflow_r, RHO_P_FLOOR) - sub.r),
+                    RHO_P_FLOOR),
+                u=sub.u + k_in * (tgt_u - sub.u),
+                v=sub.v + k_in * (tgt_v - sub.v),
+                w=sub.w + k_in * (tgt_w - sub.w),
+                p=jnp.maximum(
+                    sub.p + k_in * (max(cfg.inflow_p, RHO_P_FLOOR) - sub.p),
+                    RHO_P_FLOOR),
+                ev=jnp.maximum(sub.ev + k_in * (tgt_ev - sub.ev), 0.0),
+            )
+
+        q1 = sponge_slab(q1, 0, cfg.sponge_n, sponge_in)
     if cfg.sponge_out_n > 0:
-        xo = xs - (cfg.nx - cfg.sponge_out_n)
-        oramp = jnp.clip(xo / cfg.sponge_out_n, 0.0, 1.0) * (xo >= 0)
-        k_out = cfg.sponge_out_strength * oramp**2
-        tgtT = max(cfg.inflow_p, RHO_P_FLOOR) / (
-            max(cfg.inflow_r, RHO_P_FLOOR) * cfg.R
-        )
-        tgt_ev = evib_eq_py(cfg, tgtT)
-        q1 = PrimT(
-            r=jnp.maximum(
-                q1.r + k_out * (max(cfg.inflow_r, RHO_P_FLOOR) - q1.r),
-                RHO_P_FLOOR),
-            u=q1.u + k_out * (0.0 - q1.u),
-            v=q1.v + k_out * (0.0 - q1.v),
-            w=q1.w + k_out * (0.0 - q1.w),
-            p=jnp.maximum(
-                q1.p + k_out * (max(cfg.inflow_p, RHO_P_FLOOR) - q1.p),
-                RHO_P_FLOOR),
-            ev=jnp.maximum(q1.ev + k_out * (tgt_ev - q1.ev), 0.0),
-        )
+        def sponge_out(sub, col_lo):
+            xo = xs_of(sub, col_lo) - (cfg.nx - cfg.sponge_out_n)
+            oramp = jnp.clip(xo / cfg.sponge_out_n, 0.0, 1.0) * (xo >= 0)
+            k_out = cfg.sponge_out_strength * oramp**2
+            tgt_ev = evib_eq_py(cfg, tgtT)
+            return PrimT(
+                r=jnp.maximum(
+                    sub.r + k_out * (max(cfg.inflow_r, RHO_P_FLOOR) - sub.r),
+                    RHO_P_FLOOR),
+                u=sub.u + k_out * (0.0 - sub.u),
+                v=sub.v + k_out * (0.0 - sub.v),
+                w=sub.w + k_out * (0.0 - sub.w),
+                p=jnp.maximum(
+                    sub.p + k_out * (max(cfg.inflow_p, RHO_P_FLOOR) - sub.p),
+                    RHO_P_FLOOR),
+                ev=jnp.maximum(sub.ev + k_out * (tgt_ev - sub.ev), 0.0),
+            )
+
+        q1 = sponge_slab(q1, cfg.nx - cfg.sponge_out_n, cfg.nx, sponge_out)
 
     return q1
 
