@@ -648,9 +648,9 @@ def _boxed_wall_flux(cfg, qface: PrimT, spatial_axis: int, left: bool,
     touch a solid cell (zeros elsewhere).  `solid_box` is
     solid_box_from_mask output (padded coords); entries may extend past
     the window (they are clamped), so a z-banded kernel window passes an
-    unbounded z range.  Downstream-identical to the dense call: wall
-    fluxes are consumed through `where(face_solid, ...)` and face_solid
-    is false outside the box by construction."""
+    unbounded z range.  Every wall-flux value the downstream
+    `where(face_solid, ...)` can select is bitwise the dense call's —
+    face_solid is false outside the box by construction."""
     arr_ax = {0: 2, 1: 1, 2: 0}[spatial_axis]
     shape = qface.r.shape
     zeros = lambda: ConsT(*(jnp.zeros(shape, qface.r.dtype)  # noqa: E731
@@ -698,10 +698,13 @@ def step_core_padded(cfg: Hypersonic3DConfig, qp: PrimT, solid_pad,
 
     `solid_box`: "dense" computes the wall-mirror fluxes at every face
     (always correct); a solid_box_from_mask value (or None for no solid)
-    restricts them to the static sub-box that can touch the solid —
-    bitwise-identical output at ~1/3 the wall-flux arithmetic for the
-    default sphere (the flux select reads wall values only where
-    face_solid is true, which is inside the box by construction)."""
+    restricts them to the static sub-box that can touch the solid.  The
+    selected wall-flux values are bitwise those of the dense path (the
+    flux select reads wall values only where face_solid is true, inside
+    the box by construction; tested in test_hypersonic3d.py); the
+    step-level output can still differ at the 1-2 ulp level because the
+    two graphs lower to different XLA fusions (FMA contraction), the
+    same noise class the sharded equivalence gates already allow."""
     dtype = qp.r.dtype
 
     q0_cell = PrimT(*(f[HALO:-HALO, HALO:-HALO, HALO:-HALO] for f in qp))

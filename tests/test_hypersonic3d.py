@@ -263,3 +263,82 @@ def test_weno5_lr_slab_matches_windowed():
                                    rtol=0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(R2), np.asarray(R1),
                                    rtol=0, atol=1e-6)
+
+
+def test_boxed_wall_flux_equals_dense():
+    """step_core_padded with a static solid_box must match the dense
+    wall-flux path — including a sphere pushed against the domain
+    boundary (box clamping) and an unbounded-z kernel-style box.  The
+    SELECTED wall-flux values are verified bitwise below; the step-level
+    comparison allows ulp-level noise because the two programs lower to
+    different XLA fusions (FMA contraction differs — the same reason the
+    sharded tests use 3e-6, test_sharded3d.py:31)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fluidsims_tpu.solvers import hypersonic3d as h3
+
+    # off-center sphere touching the -x / -y boundary region
+    cfg = h3.default_config(16, sdf_cx=0.12, sdf_cy=0.2, sdf_cz=0.6,
+                            sdf_r=0.22)
+    mask = h3.build_solid(cfg, pad=h3.HALO)
+    assert mask.any()
+    box = h3.solid_box_from_mask(mask)
+
+    rng = np.random.default_rng(3)
+    H = h3.HALO
+    shp = (16 + 2 * H,) * 3
+    qp = h3.PrimT(*(jnp.asarray(rng.random(shp), jnp.float32) + 0.5
+                    for _ in range(6)))
+    sp = jnp.asarray(mask)
+    dt = jnp.float32(1e-4)
+    gain = jnp.float32(1.0)
+
+    # the wall fluxes themselves must agree BITWISE at every face the
+    # flux select can read them (face_solid true)
+    for axis in range(3):
+        arr_ax = {0: 2, 1: 1, 2: 0}[axis]
+        fsl = h3._sl(sp, arr_ax, H - 1, 1)
+        fsr = h3._sl(sp, arr_ax, H, 1)
+        fs = np.asarray(fsl | fsr)
+        assert fs.any()
+        L, R, qface_l, qface_r = jax.jit(
+            lambda qp, a=axis: h3._face_prims(cfg, qp, sp, a))(qp)
+        for left, qf in ((True, qface_l), (False, qface_r)):
+            d, b = jax.jit(lambda qf, a=axis, lf=left: (
+                h3.hllc_wall_flux(cfg, qf, a, left=lf),
+                h3._boxed_wall_flux(cfg, qf, a, lf, box)))(qf)
+            for name, dd, bb in zip(d._fields, d, b):
+                np.testing.assert_array_equal(
+                    np.asarray(dd)[fs], np.asarray(bb)[fs],
+                    err_msg=f"axis{axis} left={left} {name}")
+
+    dense = jax.jit(lambda qp: h3.step_core_padded(
+        cfg, qp, sp, dt, gain, solid_box="dense"))(qp)
+    boxed = jax.jit(lambda qp: h3.step_core_padded(
+        cfg, qp, sp, dt, gain, solid_box=box))(qp)
+    for name, a, b in zip(dense._fields, dense, boxed):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6, err_msg=name)
+
+    # kernel-style box: x-only restriction, z/y unbounded
+    kbox = ((0, 1 << 30), (0, 1 << 30), box[2])
+    xonly = jax.jit(lambda qp: h3.step_core_padded(
+        cfg, qp, sp, dt, gain, solid_box=kbox))(qp)
+    for name, a, b in zip(dense._fields, dense, xonly):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6, err_msg=name)
+
+    # no solid at all: box None skips the wall fluxes, same result
+    cfg2 = h3.default_config(16, sdf_r=1e-6)
+    mask2 = h3.build_solid(cfg2, pad=h3.HALO)
+    if not mask2.any():
+        sp2 = jnp.asarray(mask2)
+        dense2 = jax.jit(lambda qp: h3.step_core_padded(
+            cfg2, qp, sp2, dt, gain, solid_box="dense"))(qp)
+        none2 = jax.jit(lambda qp: h3.step_core_padded(
+            cfg2, qp, sp2, dt, gain, solid_box=None))(qp)
+        for name, a, b in zip(dense2._fields, dense2, none2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=2e-6, err_msg=name)
