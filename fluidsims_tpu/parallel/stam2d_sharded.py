@@ -63,12 +63,18 @@ def _lin_solve_sharded(x, x0, a, c, iters: int, halo_k: int,
     col0 = lax.axis_index(axis) * n_loc
     n = n_loc * n_dev
     done = 0
+    # x0 is loop-invariant: exchange it once per distinct extension width
+    # (at most two widths: halo_k and the final remainder) instead of per
+    # round — identical values, ceil(iters/halo_k)-1 fewer ppermute pairs
+    invariants = {}
     while done < iters:
         kb = min(halo_k, iters - done)
-        ge = col0 + jnp.arange(-kb, n_loc + kb)   # global interior col ids
-        inb = ((ge >= 0) & (ge < n))[None, :]
+        if kb not in invariants:
+            ge = col0 + jnp.arange(-kb, n_loc + kb)  # global interior cols
+            invariants[kb] = (_exchange_x(x0, kb, axis, n_dev),
+                              ((ge >= 0) & (ge < n))[None, :])
+        x0e, inb = invariants[kb]
         xe = _exchange_x(x, kb, axis, n_dev)
-        x0e = _exchange_x(x0, kb, axis, n_dev)
         for _ in range(kb):
             xe = jnp.where(inb, (x0e + a * s2._sum4(xe)) / c, 0.0)
         x = xe[..., kb:-kb]

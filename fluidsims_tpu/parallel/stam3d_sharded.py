@@ -87,14 +87,20 @@ def _lin_solve_sharded(x, x0, a, c, iters: int, halo_k: int, Np: int,
     ring_src = x  # entry buffer: its ring alternates with zeros (parity)
     cur = x
     done = 0
+    # x0 and the entry buffer's ring are loop-invariant: exchange them
+    # once per distinct extension width (at most two) instead of per
+    # round — identical values, fewer ppermutes
+    invariants = {}
     while done < iters:
         kb = min(halo_k, iters - done)
+        if kb not in invariants:
+            x0e_c = _exchange_z(x0, kb, axis, n_dev)
+            re_c = _exchange_z(ring_src, kb, axis, n_dev)
+            ring_c, _, _, _ = _ring_mask(z_off, B + 2 * kb, Np, extra_lo=kb)
+            invariants[kb] = (x0e_c[1:-1, 1:-1, 1:-1], ring_c,
+                              jnp.where(ring_c, re_c, 0.0))
+        x0i, ring, ringv = invariants[kb]
         ce = _exchange_z(cur, kb, axis, n_dev)
-        x0e = _exchange_z(x0, kb, axis, n_dev)
-        re_ = _exchange_z(ring_src, kb, axis, n_dev)
-        ring, _, _, _ = _ring_mask(z_off, B + 2 * kb, Np, extra_lo=kb)
-        ringv = jnp.where(ring, re_, 0.0)
-        x0i = x0e[1:-1, 1:-1, 1:-1]
         for tt in range(kb):
             # the ghost ring read at global iteration `it`: x's originals
             # when even, the zeroed scratch's when odd (lin_solve ping-pong)
