@@ -57,7 +57,7 @@ from ..core.config import BaseConfig
 from ..ops import cell_dense as cd
 
 __all__ = ["SPHConfig", "SPHState", "init", "step", "run", "density",
-           "resolve_engine", "rasterize_counts"]
+           "resolve_engine", "rasterize_counts", "raster_density"]
 
 
 @dataclass(frozen=True)
@@ -682,6 +682,37 @@ def overflow_count(cfg: SPHConfig, st: SPHState) -> jnp.ndarray:
     if resolve_engine(cfg) == "exact":
         return jnp.zeros((), jnp.int32)
     return cd.bin_particles(cfg.grid(), st.pos).overflow
+
+
+def raster_density(cfg: SPHConfig, pos, W: int = 64, H: int = 64,
+                   chunk: int = 4096):
+    """Exact (all-pairs, unbounded-neighbor) SPH density rho(x) =
+    sum_j m W(|x - x_j|) evaluated at W x H raster cell centers — the
+    field the renderer shows, and the observable the dropped-pair error
+    study (tools/sph_error_study.py) and its gate test compare across
+    engines.  Chunked like _exact_density; works at any occupancy."""
+    dt = pos.dtype
+    gx = (jnp.arange(W, dtype=dt) + 0.5) / W * cfg.box_x
+    gy = (jnp.arange(H, dtype=dt) + 0.5) / H * cfg.box_y
+    X, Y = jnp.meshgrid(gx, gy)
+    pts = jnp.stack([X.ravel(), Y.ravel()], -1)
+    px, py = pos[:, 0], pos[:, 1]
+    h = cfg.h
+
+    def chunk_rho(pc):
+        dx = pc[:, 0][:, None] - px[None, :]
+        dy = pc[:, 1][:, None] - py[None, :]
+        r2 = dx * dx + dy * dy
+        w = jnp.where(r2 < (2.0 * h) ** 2,
+                      w_cubic(jnp.sqrt(jnp.maximum(r2, 0.0)), h), 0.0)
+        return cfg.mass * jnp.sum(w, axis=1)
+
+    n_pts = pts.shape[0]
+    ch = min(chunk, n_pts)
+    pad = -(-n_pts // ch) * ch - n_pts
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=_EXACT_FAR)
+    rho = lax.map(chunk_rho, pts_p.reshape(-1, ch, 2)).ravel()[:n_pts]
+    return rho.reshape(H, W)
 
 
 def rasterize_counts(cfg: SPHConfig, pos, W: int, H: int):

@@ -44,35 +44,14 @@ sys.path.insert(0, ROOT)
 
 
 def density_field(cfg, pos, W=64, H=64, chunk=4096):
-    """Exact SPH density evaluated at WxH raster cell centers (the
-    unbounded-neighbor field both engines are trying to produce)."""
+    """Exact SPH density at WxH raster cell centers (the unbounded-neighbor
+    field both engines are trying to produce) — solvers.sph.raster_density,
+    shared with the gate test (tests/test_sph.py)."""
     import jax
-    import jax.numpy as jnp
-    from jax import lax
 
-    from fluidsims_tpu.solvers.sph import w_cubic
+    from fluidsims_tpu.solvers.sph import raster_density
 
-    gx = (jnp.arange(W, dtype=pos.dtype) + 0.5) / W * cfg.box_x
-    gy = (jnp.arange(H, dtype=pos.dtype) + 0.5) / H * cfg.box_y
-    X, Y = jnp.meshgrid(gx, gy)
-    pts = jnp.stack([X.ravel(), Y.ravel()], -1)  # (W*H, 2)
-
-    px, py = pos[:, 0], pos[:, 1]
-
-    def chunk_rho(pc):
-        dx = pc[:, 0][:, None] - px[None, :]
-        dy = pc[:, 1][:, None] - py[None, :]
-        r2 = dx * dx + dy * dy
-        w = jnp.where(r2 < (2.0 * cfg.h) ** 2,
-                      w_cubic(jnp.sqrt(jnp.maximum(r2, 0.0)), cfg.h), 0.0)
-        return cfg.mass * jnp.sum(w, axis=1)
-
-    n_pts = pts.shape[0]
-    ch = min(chunk, n_pts)
-    pad = -(-n_pts // ch) * ch - n_pts
-    pts_p = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=1e4)
-    rho = lax.map(chunk_rho, pts_p.reshape(-1, ch, 2)).ravel()[:n_pts]
-    return jax.device_get(rho.reshape(H, W))
+    return jax.device_get(raster_density(cfg, pos, W, H, chunk))
 
 
 def main():
