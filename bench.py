@@ -249,7 +249,12 @@ def _sweep(jax):
 
             step = hp3.make_step_pallas(cfg)
             _sync_tree(jax.jit(step)(state))
-        except Exception:
+        except Exception as e:
+            # Loud fallback: a silent one masked a broken kernel for a
+            # whole sweep (the round-5 static-geometry cut didn't lower
+            # in Mosaic and the 924 steps/s reading was this XLA path).
+            print(f"# hyp3d: pallas engine failed ({type(e).__name__}); "
+                  "benchmarking the XLA step", file=sys.stderr)
             step = lambda s: h3.step(cfg, s)  # noqa: E731
         r = _chunked(jax, step, state, 400, 100)
         return "hypersonic3d_64_steps_per_sec", r, "steps/sec"

@@ -61,7 +61,8 @@ def _band_kernel(cfg, typ, solid_box, scal_ref, *refs):
     qp = PrimT(*fields[:N_FIELDS])
     sp = fields[N_FIELDS] > 0.5
 
-    q1 = h3.step_core_padded(cfg, qp, sp, dt, gain, solid_box=solid_box)
+    q1 = h3.step_core_padded(cfg, qp, sp, dt, gain, solid_box=solid_box,
+                             sponge_mode="dense")
     for o_ref, val in zip(outs, q1):
         o_ref[:] = val
 
@@ -123,20 +124,13 @@ def make_step_pallas(cfg: h3.Hypersonic3DConfig, band: int = 4,
         for _ in range(N_FIELDS)
     ]
 
-    # static wall-flux restriction: the geometry is config-derived, so the
-    # solid's x-extent is known at trace time.  The kernel's z band and y
-    # tile offsets are grid-dynamic, so only x is restricted (unbounded
-    # z/y entries are clamped to each window).  The extent is computed
-    # analytically (|x_center - sdf_cx| < sdf_r: at most one cell wider
-    # than the rasterized mask, never narrower) rather than from
-    # build_solid(cfg) — the sharded runner builds cores on z-slab
-    # configs whose local z range says nothing about the slab's true
-    # global z, so the mask's z/y content cannot be trusted here.
-    xc = (np.arange(-HALO, nx + HALO) + 0.5) * cfg.dx
-    hit = np.nonzero(np.abs(xc - cfg.sdf_cx) < cfg.sdf_r)[0]
-    kernel_box = (None if hit.size == 0
-                  else ((0, 1 << 30), (0, 1 << 30),
-                        (int(hit[0]), int(hit[-1]))))
+    # The static-geometry restrictions (boxed wall flux, sponge slabs)
+    # stay DENSE inside the kernel: both slice the lane (x) dimension at
+    # unaligned offsets, which Mosaic cannot lower ("result/input offset
+    # mismatch on non-concat dimension") — and at nx=64 the whole x axis
+    # occupies one 128-lane vector, so a boxed slice saves no vector work
+    # anyway.  The XLA path keeps both cuts (solvers/hypersonic3d.py:891).
+    kernel_box = "dense"
 
     call = pl.pallas_call(
         functools.partial(_band_kernel, cfg, Typ, kernel_box),

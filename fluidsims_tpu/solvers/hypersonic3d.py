@@ -687,7 +687,7 @@ def _mirror(q: PrimT, axis: int) -> PrimT:
 
 def step_core_padded(cfg: Hypersonic3DConfig, qp: PrimT, solid_pad,
                      dt, inflow_gain, x0: int = 0,
-                     solid_box="dense") -> PrimT:
+                     solid_box="dense", sponge_mode: str = "slab") -> PrimT:
     """The full cell update on a halo-extended window of BC-resolved
     primitives: WENO faces -> HLLC with wall mirroring -> conservative
     update -> repair -> Landau-Teller -> sponges.  Window-agnostic along
@@ -791,16 +791,32 @@ def step_core_padded(cfg: Hypersonic3DConfig, qp: PrimT, solid_pad,
     # signs to +0.0, which no downstream consumer distinguishes).
     def sponge_slab(q, g_lo, g_hi, fn):
         """Apply fn(sub, col_lo) to window columns covering global x in
-        [g_lo, g_hi); col_lo is the slice's window-column offset."""
+        [g_lo, g_hi); col_lo is the slice's window-column offset.
+
+        sponge_mode="dense" (the Pallas kernels) applies fn to the whole
+        window instead: the ramp is exactly 0.0 outside the slab and
+        post-repair fields satisfy the floors, so the result is identical
+        — and Mosaic cannot lower the unaligned lane-dimension slice +
+        concat the slab form needs ("offset mismatch on non-concat
+        dimension"), while for XLA the slab form saves real work."""
         wx = q.r.shape[2]
         col_lo, col_hi = max(g_lo - x0, 0), min(g_hi - x0, wx)
         if col_lo >= col_hi:
             return q
+        if sponge_mode == "dense":
+            return fn(q, 0)
         sub = PrimT(*(f[:, :, col_lo:col_hi] for f in q))
         sub = fn(sub, col_lo)
-        return PrimT(*(jnp.concatenate(
-            [f[:, :, :col_lo], g, f[:, :, col_hi:]], axis=2)
-            for f, g in zip(q, sub)))
+
+        def stitch(f, g):
+            # Mosaic rejects zero-sized vector types, so emit only the
+            # non-empty segments (XLA tolerates empties; Pallas doesn't).
+            parts = ([f[:, :, :col_lo]] if col_lo > 0 else []) + [g] + \
+                ([f[:, :, col_hi:]] if col_hi < wx else [])
+            return parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=2)
+
+        return PrimT(*(stitch(f, g) for f, g in zip(q, sub)))
 
     def xs_of(sub, col_lo):
         # int iota + cast: Mosaic's tpu.iota only supports integer results
